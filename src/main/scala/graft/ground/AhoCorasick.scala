@@ -1,0 +1,149 @@
+package graft.ground
+
+import scala.collection.mutable
+
+/**
+ * Aho–Corasick multi-pattern matcher over normalized text, used for batched
+ * dictionary mention detection per transcript turn (SURVEY G4 / north_star
+ * "dictionary/trie-based batched mention detection per turn").
+ *
+ * Built once on the driver from the lexicon (ssslm.make_grounder analogue,
+ * reference contract at ner.py:47-64), broadcast, and run inside
+ * `mapPartitions` so the automaton is per-partition state, not per-row.
+ *
+ * Matching semantics (gilda-family, documented in SURVEY F5):
+ *  - patterns are matched on casefolded, whitespace-folded text;
+ *  - only matches at word boundaries count (a non-letter/digit on both sides);
+ *  - overlapping matches of DIFFERENT patterns are all emitted; the
+ *    scoring/top-1 window downstream resolves them.
+ *
+ * Construction is the textbook BFS failure-link build; lookup is O(|text| +
+ * #matches). The automaton is immutable after `build` and Serializable
+ * (array-backed, no closures) so broadcasting is cheap.
+ */
+final class AhoCorasick private (
+    // flat automaton arrays; node 0 = root. Boxed key/value types on purpose:
+    // java.util.Map[Char, Int] in Scala silently unboxes a missing-key null
+    // to 0, corrupting the trie — Character/Integer keeps null observable.
+    gotoMaps: Array[java.util.HashMap[Character, Integer]],
+    fail: Array[Int],
+    // per node: ids of patterns ending here (via output links already merged)
+    out: Array[Array[Int]],
+    val patterns: Array[String]) extends Serializable {
+
+  @inline private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val nxt: Integer = gotoMaps(s).get(Character.valueOf(c))
+      if (nxt != null) return nxt.intValue()
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0
+  }
+
+  @inline private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
+
+  /** Find all word-boundary matches. Returns (start, end-exclusive, patternId). */
+  def findAll(text: String): IndexedSeq[(Int, Int, Int)] = {
+    val res = new mutable.ArrayBuffer[(Int, Int, Int)]
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      state = step(state, text.charAt(i))
+      val o = out(state)
+      if (o.length > 0) {
+        var j = 0
+        while (j < o.length) {
+          val pid = o(j)
+          val plen = patterns(pid).length
+          val start = i + 1 - plen
+          val boundaryLeft = start == 0 || !isWordChar(text.charAt(start - 1))
+          val boundaryRight = i + 1 == n || !isWordChar(text.charAt(i + 1))
+          if (boundaryLeft && boundaryRight) res += ((start, i + 1, pid))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    res.toIndexedSeq
+  }
+}
+
+object AhoCorasick {
+
+  /** Casefold + collapse whitespace/dash runs to single spaces (F5 normalization). */
+  def normalize(s: String): String = {
+    if (s == null) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var lastSpace = true // also trims leading separators
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '-' || c == '_') {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else {
+        sb.append(Character.toLowerCase(c)); lastSpace = false
+      }
+      i += 1
+    }
+    // trim trailing space
+    val len = sb.length()
+    if (len > 0 && sb.charAt(len - 1) == ' ') sb.setLength(len - 1)
+    sb.toString
+  }
+
+  def build(rawPatterns: Seq[String]): AhoCorasick = {
+    val patterns = rawPatterns.toArray
+    val gotoMaps = mutable.ArrayBuffer[java.util.HashMap[Character, Integer]](new java.util.HashMap)
+    val outSets = mutable.ArrayBuffer[mutable.ArrayBuffer[Int]](new mutable.ArrayBuffer)
+
+    // trie insert
+    var pid = 0
+    while (pid < patterns.length) {
+      val p = patterns(pid)
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val c = Character.valueOf(p.charAt(i))
+        val nxt: Integer = gotoMaps(node).get(c)
+        if (nxt == null) {
+          gotoMaps += new java.util.HashMap
+          outSets += new mutable.ArrayBuffer
+          gotoMaps(node).put(c, Integer.valueOf(gotoMaps.length - 1))
+          node = gotoMaps.length - 1
+        } else node = nxt.intValue()
+        i += 1
+      }
+      if (p.nonEmpty) outSets(node) += pid
+      pid += 1
+    }
+
+    // BFS failure links + output merge
+    val n = gotoMaps.length
+    val fail = new Array[Int](n)
+    val queue = new mutable.Queue[Int]
+    gotoMaps(0).forEach((_, child) => { fail(child.intValue()) = 0; queue.enqueue(child.intValue()) })
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      gotoMaps(u).forEach { (c: Character, vBoxed: Integer) =>
+        val v = vBoxed.intValue()
+        // find failure state for v: deepest proper suffix state with a c-edge
+        var f = fail(u)
+        var resolved = -1
+        while (resolved < 0) {
+          val nxt: Integer = gotoMaps(f).get(c)
+          if (nxt != null && nxt.intValue() != v) resolved = nxt.intValue()
+          else if (f == 0) resolved = 0
+          else f = fail(f)
+        }
+        fail(v) = resolved
+        outSets(v) ++= outSets(resolved)
+        queue.enqueue(v)
+      }
+    }
+
+    new AhoCorasick(gotoMaps.toArray, fail, outSets.map(_.toArray).toArray, patterns)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph closures (SURVEY T2, J3) as driver-coordinated loops of
+ * DataFrame joins — deliberately NOT a single Catalyst plan (recursion isn't
+ * plan-expressible) and deliberately NOT GraphX (RDD-based, unavailable
+ * benefit at ontology scale).
+ *
+ * Scale note: these run on ONTOLOGY-sized edge lists (≤ millions of rows),
+ * never on the 10^12-turn corpus, so each iteration is a small broadcast-able
+ * join; `localCheckpoint` every iteration cuts the exponential lineage that
+ * would otherwise blow up the plan at depth ~20.
+ */
+object Closure {
+
+  /**
+   * T2 descendant closure, networkx `nx.ancestors` semantics on a
+   * child→parent digraph (ner.py:141-143): all nodes with a directed path TO
+   * a seed = the seed's descendants, EXCLUDING the seeds themselves (the
+   * reference's subtle edge case — the seed's own literal mappings are NOT in
+   * the subset; SURVEY §2.7 T2).
+   *
+   * @param childParent edges with columns (subj, obj) = (child, parent)
+   * @param seeds       one column `curie` of seed (ancestor) CURIEs
+   * @return one column `curie` of descendant CURIEs
+   */
+  def descendants(childParent: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = childParent.sparkSession
+    val edges = childParent.select(col("subj").as("child"), col("obj").as("parent"))
+      .localCheckpoint(true)
+
+    // frontier = nodes whose descendants we still need to pull in
+    var frontier = seeds.select(col("curie")).distinct().localCheckpoint(true)
+    var acc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      frontier.schema)
+
+    var frontierCount = frontier.count()
+    while (frontierCount > 0) {
+      val next = edges.join(broadcast(frontier), edges("parent") === frontier("curie"))
+        .select(col("child").as("curie")).distinct()
+        // only genuinely new nodes continue (cycle-safe, termination guaranteed)
+        .join(acc, Seq("curie"), "left_anti")
+        .join(seeds.select("curie"), Seq("curie"), "left_anti") // seeds excluded from result set
+        .localCheckpoint(true)
+      acc = acc.unionByName(next).localCheckpoint(true)
+      frontier = next
+      frontierCount = frontier.count()
+    }
+    acc.distinct()
+  }
+
+  /**
+   * J3 connected components over an undirected edge list, for xref-based
+   * entity merging: nodes connected through `oboInOwl:hasDbXref` links
+   * collapse to one canonical entity (min CURIE in the component).
+   *
+   * Algorithm: large-star/small-star-style label propagation — iterate
+   * `label(x) = min(label(x), min(label(neighbors)))` to fixpoint. Ontology
+   * xref graphs are shallow (diameter ≤ ~10), so few iterations.
+   *
+   * @param edges columns (a, b) — undirected pairs of CURIEs
+   * @return (curie, component) — component = min CURIE reachable
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+
+    var labels = sym.select(col("a").as("curie"))
+      .distinct()
+      .withColumn("component", col("curie"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate = min over {own label} ∪ {labels of neighbors}
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("curie", "b_curie"), sym("b") === col("b_curie"))
+        .select(col("a").as("curie"), col("component"))
+      val updated = labels.select(col("curie"), col("component"))
+        .unionByName(neighborLabels)
+        .groupBy("curie").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("curie"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+}

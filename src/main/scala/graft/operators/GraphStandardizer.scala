@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.curie.Converter
+import graft.functions.CurieFunctions._
+
+/**
+ * Graph standardization (SURVEY §2: G1 flatten, F2 IRI→CURIE, F4 predicate
+ * normalization, P6 node gatekeeping, P7 edge filter, A2 edge dedup).
+ *
+ * Reference semantics: obographs `squeeze(standardize=True, prefix=...)`
+ * invoked at robot.py:60-69 / ner.py:130, with the lenient-skip rules of
+ * ner.py:71-73 (unparseable node → skipped, never a failure) and ner.py:86-90
+ * (foreign-namespace nodes dropped).
+ *
+ * Everything here is pure Catalyst — explode/select/filter with native
+ * expressions — so column pruning and whole-stage codegen apply end to end.
+ */
+object GraphStandardizer {
+
+  /**
+   * graphs DF (OboGraphReader.readGraphs output) → flat standardized node
+   * table: (prefix, id, curie, label, deprecated, synonyms, xrefs).
+   *
+   * Lenient skips (each a filter, not an exception):
+   *  - node id fails CURIE compression → dropped (ner.py:72-73);
+   *  - `prefix` given and node's prefix differs → dropped (ner.py:86-90).
+   */
+  def standardizeNodes(graphs: DataFrame, converter: Converter, prefix: Option[String] = None): DataFrame = {
+    val exploded = graphs
+      .select(explode(col("nodes")).as("node"))
+      .select(
+        compress_iri(col("node.id"), converter).as("curie"),
+        col("node.lbl").as("label"),
+        col("node.type").as("node_type"),
+        coalesce(col("node.meta.deprecated"), lit(false)).as("deprecated"),
+        // P5 correction folded in: synonym text = coalesce(val, lbl)
+        transform(coalesce(col("node.meta.synonyms"), array()), s => struct(
+          coalesce(s.getField("val"), s.getField("lbl")).as("text"),
+          normalize_predicate(coalesce(s.getField("pred"), lit("hasRelatedSynonym")), converter).as("predicate"),
+          coalesce(s.getField("xrefs"), array().cast("array<string>")).as("xrefs"))).as("synonyms"),
+        transform(coalesce(col("node.meta.xrefs"), array()),
+          x => standardize_id(x.getField("val"), converter)).as("xrefs"))
+      .filter(col("curie").isNotNull)
+      .withColumn("prefix", substring_index(col("curie"), ":", 1))
+      .withColumn("id", expr("substring(curie, length(substring_index(curie, ':', 1)) + 2)"))
+
+    prefix.fold(exploded)(p => exploded.filter(col("prefix") === lit(p)))
+  }
+
+  /**
+   * graphs DF → standardized, DEDUPLICATED edge table (subj, pred, obj) as
+   * CURIE strings. Normalization can collapse distinct raw edges (`is_a` vs
+   * the subClassOf IRI) → dropDuplicates is part of the semantics (A2), not
+   * an optimization. Rows whose endpoints fail standardization are dropped
+   * leniently (P7 requires non-null subj/pred/obj — ner.py:133-138).
+   */
+  def standardizeEdges(graphs: DataFrame, converter: Converter): DataFrame = {
+    graphs
+      .select(explode(col("edges")).as("edge"))
+      .select(
+        standardize_id(col("edge.sub"), converter).as("subj"),
+        normalize_predicate(col("edge.pred"), converter).as("pred"),
+        standardize_id(col("edge.obj"), converter).as("obj"))
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+      .dropDuplicates("subj", "pred", "obj")
+  }
+
+  /** P7: the subClassOf DAG (T1) — child → parent edges. */
+  def subClassOfEdges(stdEdges: DataFrame): DataFrame =
+    stdEdges.filter(col("pred") === graft.model.Vocab.SubClassOf).select("subj", "obj")
+
+  /**
+   * T3 roots: nodes that never appear as the subject of a hierarchy edge.
+   * left_anti join; the edge side is ontology-sized → broadcast.
+   */
+  def roots(stdNodes: DataFrame, stdEdges: DataFrame): DataFrame = {
+    val subs = subClassOfEdges(stdEdges).select(col("subj").as("curie"))
+    stdNodes.join(broadcast(subs), Seq("curie"), "left_anti")
+  }
+
+  def curieCol(prefix: Column, id: Column): Column = concat(prefix, lit(":"), id)
+}

@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.fixtures.{MiniOntology, Transcripts}
+import graft.icelite.Icelite
+
+/** Smoke driver: full KG pipeline on the mini ontology + synthetic transcripts. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ontPath = MiniOntology.writeTo("target/fixtures")
+    val transcripts = Transcripts.synthetic(spark, nConvs = 200, seed = 42)
+    val ic = new Icelite("target/icelite_demo")
+    val t0 = System.nanoTime()
+    val res = KgPipeline.run(spark, transcripts, ontPath, icelite = Some(ic))
+    val n = res.triples.count()
+    println(f"TRIPLES=$n  elapsed=${(System.nanoTime()-t0)/1e9}%.1fs  snapshot=${res.snapshotId}")
+    res.triples.orderBy("subj", "pred", "obj").show(15, false)
+    println("--- ontology edges in output:")
+    res.triples.filter(org.apache.spark.sql.functions.col("pred") === "rdfs:subClassOf").show(30, false)
+    println("--- kg_edges manifest:")
+    println(ic.manifestJson("kg_edges", ic.currentSnapshotId("kg_edges").get))
+    spark.stop()
+  }
+}

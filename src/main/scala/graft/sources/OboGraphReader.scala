@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * OBO Graph JSON ingest (SURVEY §2.1 S1/S2, §2.2 P4/P5).
+ *
+ * Reference behavior being reproduced (robot.py:95-116, 329-352):
+ *  - parse a whole OBO Graph JSON document (`multiLine`) with an EXPLICIT
+ *    schema (never schema inference — at scale, inference is a second scan);
+ *  - graph-id repair: a single graph missing `id` gets the source IRI
+ *    (robot.py:331-343, warn); multiple graphs with missing ids is a hard
+ *    error (robot.py:346-349);
+ *  - raw-document correction (robot.py:351 → obographs
+ *    correct_raw_graph_document): tolerate `lbl`/`val` spelling variants —
+ *    handled here by including both spellings in the schema and coalescing;
+ *  - IRI inference for path reads: a sole graph's `id` becomes the document
+ *    IRI (robot.py:112-116).
+ *
+ * Ontology documents are tiny relative to the corpus (MBs vs 100 TB), so this
+ * runs as a single-file read on the driver-side partition; the OUTPUT tables
+ * (nodes/edges) are what get broadcast into the transcript-scale stages.
+ */
+object OboGraphReader {
+
+  val synonymType: StructType = StructType(Seq(
+    StructField("val", StringType),
+    StructField("lbl", StringType), // spelling variant seen in the wild (P5 correction)
+    StructField("pred", StringType),
+    StructField("synonymType", StringType),
+    StructField("xrefs", ArrayType(StringType))))
+
+  val metaType: StructType = StructType(Seq(
+    StructField("definition", StructType(Seq(
+      StructField("val", StringType),
+      StructField("xrefs", ArrayType(StringType))))),
+    StructField("synonyms", ArrayType(synonymType)),
+    StructField("xrefs", ArrayType(StructType(Seq(StructField("val", StringType))))),
+    StructField("basicPropertyValues", ArrayType(StructType(Seq(
+      StructField("pred", StringType),
+      StructField("val", StringType))))),
+    StructField("version", StringType),
+    StructField("deprecated", BooleanType)))
+
+  val nodeType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("lbl", StringType),
+    StructField("type", StringType),
+    StructField("meta", metaType)))
+
+  val edgeType: StructType = StructType(Seq(
+    StructField("sub", StringType),
+    StructField("pred", StringType),
+    StructField("obj", StringType)))
+
+  val graphType: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("lbl", StringType),
+    StructField("meta", metaType),
+    StructField("nodes", ArrayType(nodeType)),
+    StructField("edges", ArrayType(edgeType)),
+    StructField("equivalentNodesSets", ArrayType(StructType(Seq(
+      StructField("nodeIds", ArrayType(StringType))))))))
+
+  /** Top-level OBO Graph JSON document schema (geneontology/obographs spec). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("graphs", ArrayType(graphType))))
+
+  /**
+   * Read a document and return one row per graph, with graph-id repair
+   * applied. Columns: graph_id, graph_lbl, meta, nodes, edges,
+   * equivalentNodesSets, n_graphs.
+   */
+  def readGraphs(spark: SparkSession, path: String, sourceIri: Option[String] = None): DataFrame = {
+    val doc = spark.read.option("multiLine", value = true).schema(documentSchema).json(path)
+    val graphs = doc
+      .select(size(col("graphs")).as("n_graphs"), explode(col("graphs")).as("g"))
+      .select(
+        col("n_graphs"),
+        col("g.id").as("graph_id"),
+        col("g.lbl").as("graph_lbl"),
+        col("g.meta").as("meta"),
+        col("g.nodes").as("nodes"),
+        col("g.edges").as("edges"),
+        col("g.equivalentNodesSets").as("equivalentNodesSets"))
+
+    // P4 repair: sole graph without id ← source IRI; several graphs without
+    // ids → unrepairable (robot.py:346-349) — driver-side assertion, the only
+    // hard failure in ingest.
+    val missing = graphs.filter(col("graph_id").isNull)
+    val nMissing = missing.limit(2).count()
+    if (nMissing > 0) {
+      val multi = graphs.limit(2).count() > 1
+      if (multi) throw new IllegalArgumentException(
+        "unrepairable OBO graph document: multiple graphs with missing ids (robot.py:346-349 semantics)")
+    }
+    graphs.withColumn("graph_id",
+      coalesce(col("graph_id"), lit(sourceIri.orNull).cast(StringType)))
+  }
+
+  /** Graph version: `meta.version` coalesced over basicPropertyValues lookup (P3). */
+  def versionColumn: org.apache.spark.sql.Column =
+    coalesce(
+      col("meta.version"),
+      element_at(filter(col("meta.basicPropertyValues"),
+        bpv => bpv.getField("pred").contains("versionIRI")), 1).getField("val"))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fixtures.MiniOntology
+import graft.operators.{Closure, GraphStandardizer, LiteralMappings}
+import graft.sources.OboGraphReader
+
+/**
+ * Golden end-to-end semantics on the mini ontology fixture (SURVEY §5 plan #2;
+ * golden header values from reference tests/test_api.py:20-22).
+ */
+class StandardizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  lazy val fixturePath = MiniOntology.writeTo("target/fixtures")
+  lazy val graphs = OboGraphReader.readGraphs(spark, fixturePath).cache()
+  lazy val conv = MiniOntology.converter
+  lazy val nodes = GraphStandardizer.standardizeNodes(graphs, conv, Some("PATO")).cache()
+  lazy val edges = GraphStandardizer.standardizeEdges(graphs, conv).cache()
+
+  test("golden header: graph lbl / default namespace / version (test_api.py:20-22)") {
+    val g = graphs.select("graph_id", "graph_lbl", "meta.basicPropertyValues").collect()(0)
+    assert(g.getString(0) == "http://purl.obolibrary.org/obo/pato.owl")
+    assert(g.getString(1) == "PATO - the Phenotype And Trait Ontology")
+    val ns = graphs.select(explode(col("meta.basicPropertyValues")).as("b"))
+      .filter(col("b.pred").contains("hasDefaultNamespace"))
+      .select("b.val").collect()(0).getString(0)
+    assert(ns == "quality")
+  }
+
+  test("node gatekeeping P6: foreign-prefix and unparseable-IRI nodes dropped") {
+    val curies = nodes.select("curie").collect().map(_.getString(0)).toSet
+    assert(!curies.exists(_.startsWith("CHEBI:")))
+    assert(curies.contains("PATO:0000001"))
+    // unparseable http://unknown.example/xyz never shows up
+    assert(curies.forall(_.startsWith("PATO:")))
+  }
+
+  test("edge standardization: is_a upgrade + IRI-spelled duplicate collapses (F4 + A2)") {
+    val subClass = edges.filter(col("pred") === "rdfs:subClassOf")
+      .select("subj", "obj").collect().map(r => (r.getString(0), r.getString(1)))
+    // the size→quality edge appears once despite is_a + full-IRI raw duplicates
+    assert(subClass.count(_ == ("PATO:0000117", "PATO:0000001")) == 1)
+    // part-of via BFO IRI normalized to BFO:0000050
+    assert(edges.filter(col("pred") === "BFO:0000050").count() == 1)
+    // no raw "is_a" survives
+    assert(edges.filter(col("pred") === "is_a").count() == 0)
+  }
+
+  test("roots T3: quality is the sole root of the subClassOf DAG") {
+    val roots = GraphStandardizer.roots(nodes, edges)
+      .select("curie").collect().map(_.getString(0)).toSet
+    assert(roots.contains("PATO:0000001"))
+    assert(!roots.contains("PATO:0000118"))
+  }
+
+  test("literal mappings G2: label + synonym emission incl. lenient skips") {
+    val lms = LiteralMappings.fromNodes(nodes, "PATO").cache()
+    val byText = lms.select("text", "predicate").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // label row
+    assert(byText.contains(("quality", "rdfs:label")))
+    // synonym row with normalized scope predicate
+    assert(byText.contains(("trait", "oboInOwl:hasExactSynonym")))
+    // label-less node contributes ONLY its synonym (ner.py:98 skip)
+    assert(byText.contains(("spark", "oboInOwl:hasExactSynonym")))
+    assert(lms.filter(col("id") === "0000123" && col("predicate") === "rdfs:label").count() == 0)
+    // no-meta node contributes ONLY its label (ner.py:105 skip)
+    assert(byText.contains(("merge", "rdfs:label")))
+    assert(lms.filter(col("id") === "0000124").count() == 1)
+    // provenance = synonym xrefs (ner.py:112)
+    val prov = lms.filter(col("text") === "trait").select("provenance").collect()(0).getSeq[String](0)
+    assert(prov == Seq("PATO:0000001"))
+  }
+
+  test("closure T2: descendants exclude the seed (networkx nx.ancestors semantics)") {
+    val dag = GraphStandardizer.subClassOfEdges(edges)
+    val seeds = spark.createDataFrame(Seq(Tuple1("PATO:0000117"))).toDF("curie")
+    val desc = Closure.descendants(dag, seeds).collect().map(_.getString(0)).toSet
+    assert(desc == Set("PATO:0000118", "PATO:0000119")) // big, small — NOT size itself
+  }
+
+  test("closure from root covers everything below, still excluding seed") {
+    val dag = GraphStandardizer.subClassOfEdges(edges)
+    val seeds = spark.createDataFrame(Seq(Tuple1("PATO:0000001"))).toDF("curie")
+    val desc = Closure.descendants(dag, seeds).collect().map(_.getString(0)).toSet
+    assert(!desc.contains("PATO:0000001"))
+    assert(desc.contains("PATO:0000118")) // two levels down
+    assert(desc.contains("PATO:0000200")) // one level down
+    assert(desc.size >= 13)
+  }
+
+  test("subset filter J1: lexicon restricted to closure") {
+    val lms = LiteralMappings.fromNodes(nodes, "PATO")
+    val dag = GraphStandardizer.subClassOfEdges(edges)
+    val seeds = spark.createDataFrame(Seq(Tuple1("PATO:0000117"))).toDF("curie")
+    val closure = Closure.descendants(dag, seeds)
+      .withColumn("prefix", lit("PATO"))
+      .withColumn("id", expr("substring(curie, 6)"))
+    val subset = LiteralMappings.subset(lms, closure)
+    val texts = subset.select("text").collect().map(_.getString(0)).toSet
+    assert(texts == Set("big", "large", "huge", "small", "little"))
+  }
+
+  test("connected components J3: xref links collapse to min curie") {
+    val xrefEdges = spark.createDataFrame(Seq(
+      ("PATO:0000118", "OTHER:123"),
+      ("OTHER:123", "ZZZ:9"),
+      ("AAA:1", "BBB:2"))).toDF("a", "b")
+    val cc = Closure.connectedComponents(xrefEdges)
+    val m = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("ZZZ:9") == "OTHER:123")
+    assert(m("PATO:0000118") == "OTHER:123")
+    assert(m("BBB:2") == "AAA:1")
+  }
+}
