@@ -64,7 +64,9 @@ object MiniOntology {
       node(1, "quality", Seq(("trait", "hasExactSynonym"))),
       node(117, "size", Seq(("size quality", "hasRelatedSynonym"))),
       node(118, "big", Seq(("large", "hasExactSynonym"), ("huge", "hasRelatedSynonym")),
-        xrefs = Seq("OTHER:123")),
+        // one unknown-prefix xref (lenient null) + one known-prefix xref that
+        // actually drives the J3 entity merge
+        xrefs = Seq("OTHER:123", "CHEBI:0000118")),
       node(119, "small", Seq(("little", "hasExactSynonym"))),
       node(120, "fast", Seq(("quick", "hasExactSynonym"))),
       node(121, "slow"),
@@ -127,6 +129,64 @@ object MiniOntology {
        |  "edges": [${edges.mkString(",\n    ")}]
        |}]}""".stripMargin
   }
+
+  /**
+   * GOLDEN: the complete literal-mapping lexicon (text → CURIE) this fixture
+   * must produce under reference semantics (ner.py:85-113). Hand-derived:
+   * every PATO node's label + synonyms; CHEBI node dropped by the prefix gate
+   * (P6), unparseable-IRI node dropped (ner.py:72-73), label-less node 123
+   * contributes only "spark", no-meta node 124 contributes only "merge".
+   * A unit test asserts the engine's LiteralMappings output equals this list;
+   * the DuckDB oracle SQL embeds it as VALUES — keeping engine and oracle in
+   * lockstep. INVARIANT (asserted in tests): each text maps to exactly ONE
+   * reference, so top-1 candidate selection never changes the triple set.
+   */
+  val expectedLexicon: Seq[(String, String)] = Seq(
+    "quality" -> "PATO:0000001", "trait" -> "PATO:0000001",
+    "size" -> "PATO:0000117", "size quality" -> "PATO:0000117",
+    "big" -> "PATO:0000118", "large" -> "PATO:0000118", "huge" -> "PATO:0000118",
+    "small" -> "PATO:0000119", "little" -> "PATO:0000119",
+    "fast" -> "PATO:0000120", "quick" -> "PATO:0000120",
+    "slow" -> "PATO:0000121",
+    "speed" -> "PATO:0000122", "velocity" -> "PATO:0000122",
+    "spark" -> "PATO:0000123",
+    "merge" -> "PATO:0000124",
+    "process quality" -> "PATO:0000200",
+    "sort" -> "PATO:0000201", "ordering" -> "PATO:0000201",
+    "join" -> "PATO:0000202", "hash join" -> "PATO:0000202",
+    "filter" -> "PATO:0000203",
+    "scan" -> "PATO:0000204", "table scan" -> "PATO:0000204",
+    "window" -> "PATO:0000205",
+    "query" -> "PATO:0000206",
+    "stream" -> "PATO:0000207", "streaming" -> "PATO:0000207",
+    "batch" -> "PATO:0000208",
+    "group" -> "PATO:0000209")
+
+  /**
+   * GOLDEN: the standardized, deduplicated ontology edge set — 18 triples
+   * (17 raw subClassOf-ish edges + BFO part-of; the is_a/IRI-spelled duplicate
+   * of 117→1 collapses). Asserted against GraphStandardizer output in tests
+   * and embedded in the pipeline oracle SQL.
+   */
+  val expectedOntologyTriples: Seq[(String, String, String)] = Seq(
+    ("PATO:0000118", "rdfs:subClassOf", "PATO:0000117"),
+    ("PATO:0000119", "rdfs:subClassOf", "PATO:0000117"),
+    ("PATO:0000117", "rdfs:subClassOf", "PATO:0000001"),
+    ("PATO:0000120", "rdfs:subClassOf", "PATO:0000122"),
+    ("PATO:0000121", "rdfs:subClassOf", "PATO:0000122"),
+    ("PATO:0000122", "rdfs:subClassOf", "PATO:0000001"),
+    ("PATO:0000201", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000202", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000203", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000204", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000205", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000206", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000207", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000208", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000200", "rdfs:subClassOf", "PATO:0000001"),
+    ("PATO:0000123", "BFO:0000050", "PATO:0000122"),
+    ("PATO:0000123", "rdfs:subClassOf", "PATO:0000200"),
+    ("PATO:0000209", "rdfs:subClassOf", "PATO:0000200"))
 
   /** Write the fixture to a temp-ish path (idempotent) and return the path. */
   def writeTo(dir: String): String = {

@@ -36,11 +36,12 @@ abstract class ConverterExpression extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val refName = ctx.addReferenceObj("graftExpr", this, this.getClass.getName)
+    val tmp = ctx.freshName("graftOut")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |java.lang.String graftOut = $refName.kernel($c.toString());
-         |if (graftOut == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(graftOut); }
+         |java.lang.String $tmp = $refName.kernel($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
        """.stripMargin
     })
   }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/**
+ * Deduplication operators for training-data pipelines over
+ * `documents(doc_id, text, ...)`. Four families, each with a distinct
+ * scale/recall trade-off; ALL formulated so the heavy lifting is Catalyst
+ * expressions + shuffles on narrow key columns — at 100 TB, text never
+ * shuffles, only (doc_id, signature) pairs do:
+ *
+ *  - exact:         hash-groupBy on the normalized text's 64-bit fingerprint;
+ *  - minhash + LSH: shingle → K minhashes → b bands → band-bucket self-join;
+ *  - simhash:       64-bit signature (native Catalyst expression) + banded
+ *                   Hamming join;
+ *  - n-gram Jaccard: exact verification metric (used to confirm LSH candidates).
+ */
+object DedupOps {
+
+  /** Whitespace-fold + casefold — the canonical form used by every family. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  // -------------------------------------------------------------------------
+  // exact dedup
+  // -------------------------------------------------------------------------
+
+  /**
+   * Exact duplicate groups: normalized-text fingerprint → min doc_id kept.
+   * One shuffle on the 64-bit fingerprint (never on text); map-side partial
+   * aggregation collapses duplicates before the exchange.
+   */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), xxhash64(normText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Documents surviving exact dedup (the kept representative per group). */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val keep = exactDuplicates(documents).select(col("keep_id").as("doc_id"))
+    documents.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  // -------------------------------------------------------------------------
+  // minhash + LSH
+  // -------------------------------------------------------------------------
+
+  /** Token-3-gram shingles of the normalized text (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(normText(text), " ")
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /**
+   * K minhash values per doc: min over shingles of xxhash64(shingle, k).
+   * Pure Catalyst (`transform` + `array_min`), one projection, no UDF.
+   */
+  def minhashSignature(text: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles(text), s => xxhash64(s, i))))
+
+  /**
+   * LSH candidate pairs: split the K-length signature into `bands` bands,
+   * hash each band, self-join on (band_idx, band_hash). Returns distinct
+   * (a, b) doc_id pairs with a < b. The self-join shuffles only
+   * (doc_id, band_hash) — ~K/r * 16 bytes per doc, regardless of text size.
+   */
+  def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sigs = documents.select(col("doc_id"), minhashSignature(col("text"), k).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard between two docs' texts (verification metric). */
+  def jaccard(textA: Column, textB: Column): Column = {
+    val ta = array_distinct(split(normText(textA), " "))
+    val tb = array_distinct(split(normText(textB), " "))
+    round(size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb)).cast("double"), 6)
+  }
+
+  /**
+   * Full near-dup pipeline: LSH candidates → exact Jaccard verify ≥ threshold.
+   * The verify join re-reads only candidate docs' text (semi-joined), so the
+   * quadratic blowup is bounded by LSH bucket collisions, not corpus size.
+   */
+  def minhashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
+                            k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(documents, k, bands)
+    val txt = documents.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(txt.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------------
+  // simhash
+  // -------------------------------------------------------------------------
+
+  /** 64-bit SimHash over the normalized token array (native Catalyst expression). */
+  def simhash(text: Column): Column =
+    SimHash64.simhash64(split(normText(text), " "))
+
+  /**
+   * SimHash near-dup candidates within Hamming distance ≤ 3 via the standard
+   * 4-block trick (Manku et al., WWW'07: any pair at distance ≤ 3 agrees on
+   * at least one of 4 16-bit blocks) → block-bucket self-join + exact
+   * popcount verify. Shuffles only (doc_id, 16-bit block) pairs.
+   */
+  def simhashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val blocked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+    blocked.alias("x").join(blocked.alias("y"),
+        col("x.block_idx") === col("y.block_idx") &&
+        col("x.block_val") === col("y.block_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------------
+  // embedding near-dup
+  // -------------------------------------------------------------------------
+
+  /** Cosine similarity between two float-array columns — zip_with + aggregate. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /**
+   * Embedding-cosine near-duplicates ≥ threshold via hyperplane-LSH bucketing
+   * (see [[SimilarityOps.hyperplaneBucket]]) + exact cosine verify; probes the
+   * bucket and its single-bit neighbors implicitly by using fewer planes.
+   */
+  def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double = 0.95,
+                              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      SimilarityOps.hyperplaneBucket(col("embedding"), planes, dim).as("bucket"))
+    bucketed.alias("x").join(bucketed.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

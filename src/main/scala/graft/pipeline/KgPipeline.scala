@@ -56,12 +56,24 @@ object KgPipeline {
    * node metadata, run connected components, return `curie → canonical` as a
    * driver map suitable for broadcast (ontology-sized by construction).
    */
-  def xrefCanonicalMap(nodes: DataFrame): Map[String, String] = {
+  def xrefCanonicalMap(nodes: DataFrame, preferPrefix: Option[String] = None): Map[String, String] = {
     val xrefEdges = nodes
       .select(col("curie").as("a"), explode(col("xrefs")).as("b"))
       .filter(col("b").isNotNull)
     val cc = Closure.connectedComponents(xrefEdges)
-    cc.filter(col("curie") =!= col("component"))
+    // representative per component: prefer the ontology's own prefix (so the
+    // merged entity keeps its PATO id, not a lexicographically-smaller foreign
+    // xref), then min CURIE for determinism.
+    val prefRank = preferPrefix.fold(lit(0))(p =>
+      when(col("curie").startsWith(p + ":"), 0).otherwise(1))
+    val reps = cc
+      .withColumn("rank_key", concat(prefRank.cast("string"), lit("|"), col("curie")))
+      .groupBy("component").agg(min("rank_key").as("rep_key"))
+      .withColumn("rep", expr("substring(rep_key, 3)"))
+      .select("component", "rep")
+    cc.join(reps, "component")
+      .filter(col("curie") =!= col("rep"))
+      .select("curie", "rep")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
@@ -91,7 +103,7 @@ object KgPipeline {
     val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
     val lexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
     val grounder = spark.sparkContext.broadcast(Grounder.build(lexicon))
-    val canonical = xrefCanonicalMap(nodes)
+    val canonical = xrefCanonicalMap(nodes, prefix)
 
     // ---- corpus side (huge) -----------------------------------------------
     // conversation-boundary-preserving partitioning, salted for skew: hash on
