@@ -30,6 +30,34 @@ object Transcripts {
     "quick", "large", "little", "huge", "trait", "velocity", "noise", "x7")
 
   /**
+   * Bioregistry/GO-scale synthetic lexicon for benchmarking: `extra`
+   * single-word terms overlapping the noise vocabulary (controlled hit
+   * density) plus 10× two-word terms (exercise multi-token matching and
+   * automaton depth). Real ontologies carry 10^5-10^6 literal mappings —
+   * a 30-term fixture automaton understates per-byte CPU work by orders of
+   * magnitude, making any bench bandwidth-bound instead of compute-bound.
+   */
+  def bigLexicon(spark: SparkSession, singleTerms: Int = 500, pairTerms: Int = 50000): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(7L)
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    (0 until singleTerms).foreach { k =>
+      rows += org.apache.spark.sql.Row("SYN", f"$k%07d", s"w$k", "rdfs:label", s"w$k", "SYN", Seq.empty[String])
+    }
+    (0 until pairTerms).foreach { k =>
+      val t = s"w${rng.nextInt(20000)} w${rng.nextInt(20000)}"
+      rows += org.apache.spark.sql.Row("SYN", f"${k + singleTerms}%07d", t,
+        "oboInOwl:hasExactSynonym", t, "SYN", Seq.empty[String])
+    }
+    val schema = StructType(Seq(
+      StructField("prefix", StringType), StructField("id", StringType),
+      StructField("name", StringType), StructField("predicate", StringType),
+      StructField("text", StringType), StructField("source", StringType),
+      StructField("provenance", ArrayType(StringType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+  }
+
+  /**
    * DuckDB-reproducible transcripts from documents:
    *   conv_id  = 'c' || (doc_id % 97)
    *   turn_idx = doc_id // 97
@@ -66,7 +94,8 @@ object Transcripts {
    * not serialize a task — SURVEY §7.5.3).
    */
   def synthetic(spark: SparkSession, nConvs: Long, seed: Long = 42L,
-                wordsPerTurn: Int = 24, skewFactor: Int = 50): DataFrame = {
+                wordsPerTurn: Int = 40, skewFactor: Int = 50,
+                mentionEvery: Int = 16): DataFrame = {
     val vocabArr = array(vocab.map(lit): _*)
     val nWords = vocab.size
 
@@ -85,11 +114,18 @@ object Transcripts {
         col("turn_idx"),
         element_at(array(lit("user"), lit("assistant"), lit("tool")),
           pmod(col("turn_idx"), lit(3)).cast("int") + 1).as("role"),
-        // text: wordsPerTurn words chosen by a per-(conv,turn,i) hash
+        // text: wordsPerTurn words per turn; 1-in-mentionEvery words is a
+        // planted lexicon term, the rest draw from a 20k-word noise
+        // vocabulary — realistic mention density (~1-3 per turn), so bench
+        // output volume tracks real corpora instead of being output-bound
         concat_ws(" ",
           transform(sequence(lit(0), lit(wordsPerTurn - 1)),
-            i => element_at(vocabArr,
-              pmod(xxhash64(col("cid"), col("turn_idx"), i, lit(seed)), lit(nWords)).cast("int") + 1))).as("text"),
+            i => {
+              val h = xxhash64(col("cid"), col("turn_idx"), i, lit(seed))
+              when(pmod(h, lit(mentionEvery)) === 0,
+                element_at(vocabArr, pmod(h, lit(nWords)).cast("int") + 1))
+                .otherwise(concat(lit("w"), pmod(h, lit(20000)).cast("string")))
+            })).as("text"),
         when(pmod(col("turn_idx"), lit(3)) === 2, lit("search"))
           .otherwise(lit(null).cast("string")).as("tool"),
         timestamp_seconds(lit(1700000000L) + col("cid") * 10000 + col("turn_idx")).as("ts"))

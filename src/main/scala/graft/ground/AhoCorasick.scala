@@ -44,9 +44,8 @@ final class AhoCorasick private (
 
   @inline private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
 
-  /** Find all word-boundary matches. Returns (start, end-exclusive, patternId). */
-  def findAll(text: String): IndexedSeq[(Int, Int, Int)] = {
-    val res = new mutable.ArrayBuffer[(Int, Int, Int)]
+  /** Allocation-free scan: invokes `f(start, endExclusive, patternId)` per match. */
+  def findAllInto(text: String, f: (Int, Int, Int) => Unit): Unit = {
     var state = 0
     var i = 0
     val n = text.length
@@ -61,12 +60,18 @@ final class AhoCorasick private (
           val start = i + 1 - plen
           val boundaryLeft = start == 0 || !isWordChar(text.charAt(start - 1))
           val boundaryRight = i + 1 == n || !isWordChar(text.charAt(i + 1))
-          if (boundaryLeft && boundaryRight) res += ((start, i + 1, pid))
+          if (boundaryLeft && boundaryRight) f(start, i + 1, pid)
           j += 1
         }
       }
       i += 1
     }
+  }
+
+  /** Find all word-boundary matches. Returns (start, end-exclusive, patternId). */
+  def findAll(text: String): IndexedSeq[(Int, Int, Int)] = {
+    val res = new mutable.ArrayBuffer[(Int, Int, Int)]
+    findAllInto(text, (s, e, p) => res += ((s, e, p)))
     res.toIndexedSeq
   }
 }

@@ -4,7 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.broadcast.Broadcast
 
-import graft.model.{Mention, Turn, Vocab}
+import graft.model.{Mention, Triple, Turn, Vocab}
+
+/** Slim detection input: only the columns the automaton needs — decoding
+  * role/tool/ts (esp. Timestamp) per row measurably slows the scan. */
+final case class SlimTurn(conv_id: String, turn_idx: Int, text: String)
 
 /** One lexicon entry attached to a normalized pattern. */
 final case class TermEntry(prefix: String, id: String, name: String, predicate: String)
@@ -54,6 +58,62 @@ final class Grounder private (
     }
   }
 
+  /**
+   * Best candidate per matched span, resolved inline — semantically identical
+   * to findMentions + a (score desc, prefix, id, predicate) ranking window,
+   * but with ZERO shuffle: all candidates of a span come from the same
+   * automaton hit, so the arg-max never needs to leave the partition.
+   */
+  def findTopMentions(convId: String, turnIdx: Int, text: String): Iterator[Mention] = {
+    if (text == null || text.isEmpty) return Iterator.empty
+    val norm = AhoCorasick.normalize(text)
+    automaton.findAll(norm).iterator.map { case (start, end, pid) =>
+      val surfaceNorm = norm.substring(start, end)
+      val caseBonus = if (text.contains(surfaces(pid))) 0.5 else 0.0
+      var best: TermEntry = null
+      var bestScore = Double.MinValue
+      val es = entries(pid)
+      var i = 0
+      while (i < es.length) {
+        val e = es(i)
+        val sc = predicateWeight(e.predicate) + caseBonus
+        // tie-break (prefix, id, predicate) asc — es is pre-sorted that way,
+        // so strict > keeps the first (smallest) among equals
+        if (sc > bestScore) { bestScore = sc; best = e }
+        i += 1
+      }
+      Mention(convId, turnIdx, start, end, surfaceNorm,
+        best.prefix, best.id, best.name, best.predicate, bestScore)
+    }
+  }
+
+  /**
+   * Allocation-lean kernel for the triple path: per turn, resolve span top-1
+   * and per-turn concept dedup in one scan, emitting canonical CURIEs into
+   * `out`. No Mention objects, no tuples — this is the 100 TB hot loop.
+   */
+  def collectTurnConcepts(text: String, out: java.util.ArrayList[String],
+                          seen: java.util.HashSet[String]): Unit = {
+    if (text == null || text.isEmpty) return
+    out.clear(); seen.clear()
+    val norm = AhoCorasick.normalize(text)
+    automaton.findAllInto(norm, (_, _, pid) => {
+      val es = entries(pid)
+      var best: TermEntry = es(0)
+      if (es.length > 1) {
+        var bestScore = predicateWeight(es(0).predicate)
+        var i = 1
+        while (i < es.length) {
+          val sc = predicateWeight(es(i).predicate)
+          if (sc > bestScore) { bestScore = sc; best = es(i) }
+          i += 1
+        }
+      }
+      val curie = best.prefix + ":" + best.id
+      if (seen.add(curie)) out.add(curie)
+    })
+  }
+
   /** Driver-side single-string grounding (reference: grounder.ground("apoptosis")). */
   def ground(text: String): Seq[Mention] =
     findMentions("", 0, text).toSeq.sortBy(m => (-m.score, m.prefix, m.id))
@@ -67,7 +127,8 @@ object Grounder {
    * huge lexicon still aggregates distributed), then ontology-sized results
    * collect to the driver for automaton construction.
    */
-  def build(literalMappings: DataFrame): Grounder = {
+  def build(literalMappings: DataFrame,
+            canonical: Map[String, String] = Map.empty): Grounder = {
     val rows = literalMappings
       .select(col("prefix"), col("id"), coalesce(col("name"), col("text")).as("name"),
         col("predicate"), col("text"))
@@ -78,8 +139,16 @@ object Grounder {
       val text = r.getString(4)
       val norm = AhoCorasick.normalize(text)
       if (norm.nonEmpty) {
+        // fold the xref entity-merge INTO the index: entries are born
+        // canonical, so downstream triples need no remap pass at all
+        var prefix = r.getString(0)
+        var id = r.getString(1)
+        canonical.get(s"$prefix:$id").foreach { canon =>
+          val i = canon.indexOf(':')
+          if (i > 0) { prefix = canon.substring(0, i); id = canon.substring(i + 1) }
+        }
         byNorm.getOrElseUpdate(norm, new scala.collection.mutable.ArrayBuffer)
-          .append((TermEntry(r.getString(0), r.getString(1), r.getString(2), r.getString(3)), text))
+          .append((TermEntry(prefix, id, r.getString(2), r.getString(3)), text))
       }
     }
     val patterns = byNorm.keys.toArray
@@ -107,6 +176,65 @@ object MentionDetector {
     turns.mapPartitions { it =>
       val g = grounder.value
       it.flatMap(t => g.findMentions(t.conv_id, t.turn_idx, t.text))
+    }
+  }
+
+  /**
+   * Detection with span-local top-1 fused into the scan (see
+   * [[Grounder.findTopMentions]]): same result as detect → topCandidates but
+   * with no ranking-window shuffle — the preferred path at corpus scale.
+   */
+  def detectTop(turns: Dataset[Turn], grounder: Broadcast[Grounder]): Dataset[Mention] =
+    detectTopSlim(slim(turns.toDF()), grounder)
+
+  /** Preferred scale path: slim projection in, fused top-1 out. */
+  def detectTopSlim(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder]): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      val g = grounder.value
+      it.flatMap(t => g.findTopMentions(t.conv_id, t.turn_idx, t.text))
+    }
+  }
+
+  def slim(transcripts: org.apache.spark.sql.DataFrame): Dataset[SlimTurn] = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    transcripts.select(col("conv_id"), col("turn_idx"), col("text")).as[SlimTurn]
+  }
+
+  /**
+   * THE scale path: detection → span top-1 → per-turn concept dedup, fused
+   * into one map-side pass emitting final `Triple`s directly.
+   *
+   * Zero-shuffle dedup argument: triple subj embeds (conv_id, turn_idx), so
+   * duplicates of a (turn, concept) pair can only originate from the same
+   * turn — which lives in exactly one partition. A per-turn HashSet therefore
+   * yields GLOBALLY distinct mention triples with no exchange; with entries
+   * born canonical (Grounder.build canonical map) nothing downstream needs a
+   * second pass. Total corpus-wide shuffles in the whole pipeline: one (the
+   * conversation-preserving repartition).
+   */
+  def detectTriples(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder]): Dataset[Triple] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      val g = grounder.value
+      // reusable per-partition scratch — zero steady-state allocation beyond
+      // the emitted Triples themselves
+      val buf = new java.util.ArrayList[String](64)
+      val seen = new java.util.HashSet[String](128)
+      it.flatMap { t =>
+        g.collectTurnConcepts(t.text, buf, seen)
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val subj = s"turn:${t.conv_id}/${t.turn_idx}"
+          val arr = new Array[Triple](buf.size)
+          var i = 0
+          while (i < arr.length) { arr(i) = Triple(subj, Vocab.Mentions, buf.get(i)); i += 1 }
+          arr.iterator
+        }
+      }
     }
   }
 

@@ -49,23 +49,50 @@ object DedupOps {
   // minhash + LSH
   // -------------------------------------------------------------------------
 
-  /** Token-3-gram shingles of the normalized text (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(normText(text), " ")
+  /**
+   * Token-3-gram shingles from an ALREADY-MATERIALIZED token-array column.
+   *
+   * PERFORMANCE RULE (measured, 20×): any non-attribute expression referenced
+   * inside a higher-order-function lambda is re-evaluated PER ARRAY ELEMENT —
+   * Catalyst does no common-subexpression elimination across lambda scopes.
+   * So tokenization/normalization must be staged through real projections
+   * (`.select(... .as("toks"))`) and lambdas may only touch attributes.
+   */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+
+  /** Convenience single-expression form — ONLY for tiny inputs/tests (see rule above). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(split(normText(text), " "), n)
 
   /**
    * K minhash values per doc: min over shingles of xxhash64(shingle, k).
    * Pure Catalyst (`transform` + `array_min`), one projection, no UDF.
+   *
+   * NOTE: hash the shingles ONCE into an array column and fold K mins over
+   * the hashed array — inlining `shingles(text)` K times creates a K×-sized
+   * expression tree that Catalyst does not common-subexpression-eliminate
+   * across lambda scopes (measured 13s → <1s at 500 docs).
    */
-  def minhashSignature(text: Column, k: Int = 16): Column =
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles(text), s => xxhash64(s, i))))
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+
+  /** Base 64-bit hash per shingle (hashed once, remixed K times). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** documents → (doc_id, sig) with each stage in its own projection. */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame =
+    documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("shingle_arr"))
+      .select(col("doc_id"), transform(col("shingle_arr"), s => xxhash64(s)).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
 
   /**
    * LSH candidate pairs: split the K-length signature into `bands` bands,
@@ -75,7 +102,7 @@ object DedupOps {
    */
   def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sigs = documents.select(col("doc_id"), minhashSignature(col("text"), k).as("sig"))
+    val sigs = minhashSignatures(documents, k)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

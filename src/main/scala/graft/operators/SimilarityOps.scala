@@ -53,17 +53,24 @@ object SimilarityOps {
   }
 
   /**
-   * ANN top-k: corpus bucketed by hyperplane LSH; each query joins only its
-   * bucket, then exact re-rank. At 100 TB the bucketed corpus is written
-   * partitioned by bucket → a query probe is a partition-pruned scan.
+   * ANN top-k: corpus bucketed by hyperplane LSH; each query MULTI-PROBES its
+   * own bucket plus every 1-bit-flip neighbor (the standard recall lever —
+   * points near a hyperplane land on either side), then exact re-rank. At
+   * 100 TB the bucketed corpus is written partitioned by bucket → each probe
+   * is a partition-pruned scan; probes × queries stays broadcast-small.
    */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
               nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val corpus = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
-    val qs = queries.withColumn("bucket", hyperplaneBucket(col("qvec"), nPlanes, dim))
+    val probes = (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
+    val qs = queries
+      .withColumn("bucket0", hyperplaneBucket(col("qvec"), nPlanes, dim))
+      .withColumn("bucket", explode(array(col("bucket0") +: probes: _*)))
+      .drop("bucket0")
     val scored = corpus.join(broadcast(qs), "bucket")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("embedding"), col("qvec")), 6).as("cos"))
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

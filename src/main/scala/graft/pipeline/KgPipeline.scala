@@ -56,32 +56,70 @@ object KgPipeline {
    * node metadata, run connected components, return `curie → canonical` as a
    * driver map suitable for broadcast (ontology-sized by construction).
    */
+  /** Above this edge count, xref CC runs distributed; below, driver union-find. */
+  val DriverUnionFindLimit = 200000L
+
   def xrefCanonicalMap(nodes: DataFrame, preferPrefix: Option[String] = None): Map[String, String] = {
     val xrefEdges = nodes
       .select(col("curie").as("a"), explode(col("xrefs")).as("b"))
       .filter(col("b").isNotNull)
-    val cc = Closure.connectedComponents(xrefEdges)
+
+    // Ontology xref graphs are tiny relative to the corpus; SURVEY J3's
+    // driver union-find + broadcast map is both exact and ~20× cheaper in
+    // job-scheduling overhead than the iterative join loop. The distributed
+    // path stays for genuinely large entity graphs.
+    val pairs: Array[(String, String)] =
+      if (xrefEdges.limit(DriverUnionFindLimit.toInt + 1).count() <= DriverUnionFindLimit) {
+        val parent = scala.collection.mutable.HashMap[String, String]()
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        xrefEdges.collect().foreach { row =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val members = parent.keySet ++ parent.values
+        members.toArray.map(m => m -> find(m))
+      } else {
+        Closure.connectedComponents(xrefEdges)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+      }
+
     // representative per component: prefer the ontology's own prefix (so the
-    // merged entity keeps its PATO id, not a lexicographically-smaller foreign
-    // xref), then min CURIE for determinism.
-    val prefRank = preferPrefix.fold(lit(0))(p =>
-      when(col("curie").startsWith(p + ":"), 0).otherwise(1))
-    val reps = cc
-      .withColumn("rank_key", concat(prefRank.cast("string"), lit("|"), col("curie")))
-      .groupBy("component").agg(min("rank_key").as("rep_key"))
-      .withColumn("rep", expr("substring(rep_key, 3)"))
-      .select("component", "rep")
-    cc.join(reps, "component")
-      .filter(col("curie") =!= col("rep"))
-      .select("curie", "rep")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // merged entity keeps its PATO id, not a lexicographically-smaller
+    // foreign xref), then min CURIE for determinism.
+    def rank(c: String): (Int, String) =
+      (if (preferPrefix.exists(p => c.startsWith(p + ":"))) 0 else 1, c)
+    pairs.groupBy(_._2).iterator.flatMap { case (_, grp) =>
+      val memberSet = grp.map(_._1)
+      val rep = memberSet.minBy(rank)
+      memberSet.filter(_ != rep).map(_ -> rep)
+    }.toMap
   }
 
-  /** Rewrite triple endpoints through the canonical-entity map (broadcast map-side). */
+  /**
+   * Rewrite triple endpoints through the canonical-entity map — map-side, no
+   * shuffle. Small maps (the common case: xref merges are ontology-sized)
+   * become a literal `map_from_arrays` lookup that stays inside whole-stage
+   * codegen; big maps fall back to a broadcast-map UDF.
+   */
   def canonicalize(triples: DataFrame, canonical: Map[String, String]): DataFrame = {
     if (canonical.isEmpty) return triples
-    val b = triples.sparkSession.sparkContext.broadcast(canonical)
-    val remap = udf((c: String) => if (c == null) null else b.value.getOrElse(c, c))
+    val remap: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (canonical.size <= 10000) {
+        val keys = array(canonical.keys.toSeq.map(lit): _*)
+        val vals = array(canonical.values.toSeq.map(lit): _*)
+        c => coalesce(element_at(map_from_arrays(keys, vals), c), c)
+      } else {
+        val b = triples.sparkSession.sparkContext.broadcast(canonical)
+        val f = udf((c: String) => if (c == null) null else b.value.getOrElse(c, c))
+        c => f(c)
+      }
     triples.select(remap(col("subj")).as("subj"), col("pred"), remap(col("obj")).as("obj"))
   }
 
@@ -90,20 +128,50 @@ object KgPipeline {
    * expensive stage materializes as a tagged snapshot → kill-and-resume
    * reuses finished stages and produces identical output (north rule).
    */
+  /**
+   * Ontology-side artifacts, built ONCE per ontology release and reused
+   * across every corpus batch/snapshot (at 10^12 turns, ontology prep is
+   * amortized to zero — rebuilding the broadcast automaton per batch would
+   * serialize the cluster on the driver).
+   */
+  final case class OntologyContext(
+      nodes: DataFrame,
+      edges: DataFrame,
+      grounder: org.apache.spark.broadcast.Broadcast[Grounder],
+      canonical: Map[String, String])
+
+  def prepare(spark: SparkSession,
+              ontologyJsonPath: String,
+              converter: Converter = MiniOntology.converter,
+              prefix: Option[String] = Some("PATO"),
+              extraLexicon: Option[DataFrame] = None): OntologyContext = {
+    val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
+    val ownLexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
+    val lexicon = extraLexicon.fold(ownLexicon)(x => ownLexicon.unionByName(x))
+    val canonical = xrefCanonicalMap(nodes, prefix)
+    // entity merge folded into the index: grounder entries are born canonical
+    val grounder = spark.sparkContext.broadcast(Grounder.build(lexicon, canonical))
+    OntologyContext(nodes, edges, grounder, canonical)
+  }
+
   def run(spark: SparkSession,
           transcripts: DataFrame,
           ontologyJsonPath: String,
           converter: Converter = MiniOntology.converter,
           prefix: Option[String] = Some("PATO"),
           icelite: Option[Icelite] = None,
-          runTag: String = "run"): Result = {
-    import spark.implicits._
+          runTag: String = "run",
+          extraLexicon: Option[DataFrame] = None): Result =
+    runPrepared(spark, transcripts,
+      prepare(spark, ontologyJsonPath, converter, prefix, extraLexicon),
+      icelite, runTag)
 
-    // ---- ontology side (small) --------------------------------------------
-    val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
-    val lexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
-    val grounder = spark.sparkContext.broadcast(Grounder.build(lexicon))
-    val canonical = xrefCanonicalMap(nodes, prefix)
+  def runPrepared(spark: SparkSession,
+                  transcripts: DataFrame,
+                  ctx: OntologyContext,
+                  icelite: Option[Icelite] = None,
+                  runTag: String = "run"): Result = {
+    val OntologyContext(nodes, edges, grounder, canonical) = ctx
 
     // ---- corpus side (huge) -----------------------------------------------
     // conversation-boundary-preserving partitioning, salted for skew: hash on
@@ -111,24 +179,38 @@ object KgPipeline {
     // allowed to split one conversation across ≤ S partitions without
     // breaking semantics; the stable-order invariant is asserted on unsalted
     // read-back (SURVEY §7.5.3), not mid-pipeline.
-    val turns: Dataset[Turn] = transcripts
+    val turns = transcripts
       .withColumn("salt", pmod(col("turn_idx"), lit(SaltBuckets)))
       .repartition(col("conv_id"), col("salt"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .drop("salt")
-      .as[Turn]
 
-    val mentions = MentionDetector.detect(turns, grounder)
-    val top = MentionDetector.topCandidates(mentions)
-    val topSnap = icelite.fold(top)(ic =>
-      ic.materialize(spark, "mentions_top", s"$runTag/mentions")(top))
+    // span-local top-1 fused into the detection scan (no ranking-window
+    // shuffle; equivalence with detect→topCandidates is unit-tested).
+    // Column pruning pushes the slim projection below the repartition, so
+    // only (conv_id, turn_idx, text) ever shuffles.
+    val slimTurns = MentionDetector.slim(turns)
+    val top = MentionDetector.detectTopSlim(slimTurns, grounder).toDF()
 
-    val mentionTriples = MentionDetector.mentionTriples(topSnap)
-    val ontologyTriples = edges.select("subj", "pred", "obj")
-
-    val allTriples = canonicalize(
-      mentionTriples.unionByName(ontologyTriples), canonical)
+    // ontology edges: canonicalize + distinct (tiny)
+    val ontologyTriples = canonicalize(edges.select("subj", "pred", "obj"), canonical)
       .dropDuplicates("subj", "pred", "obj")
+
+    val allTriples = icelite match {
+      case Some(ic) =>
+        // resumable path: mentions materialize as a tagged snapshot first;
+        // read-back loses partitioning, so dedup pays one explicit shuffle
+        val topSnap = ic.materialize(spark, "mentions_top", s"$runTag/mentions")(top)
+        canonicalize(MentionDetector.mentionTriples(topSnap), canonical)
+          .unionByName(ontologyTriples)
+          .dropDuplicates("subj", "pred", "obj")
+      case None =>
+        // scale path: detection + top-1 + per-turn dedup + canonicalization
+        // fused into ONE map-side pass (see MentionDetector.detectTriples);
+        // the only corpus-wide shuffle in the whole plan is the repartition
+        MentionDetector.detectTriples(slimTurns, grounder).toDF()
+          .unionByName(ontologyTriples)
+    }
 
     val nodeTable = nodes.select(
       col("prefix"), col("id"), col("curie"), col("label"), col("deprecated"))
@@ -138,7 +220,7 @@ object KgPipeline {
       ic.writeSnapshot(allTriples, "kg_edges", s"$runTag/edges")
     }
 
-    Result(allTriples, nodeTable, topSnap, snapId)
+    Result(allTriples, nodeTable, top, snapId)
   }
 
   /** Pipeline without icelite materialization — pure DataFrame (for bench/verify). */
