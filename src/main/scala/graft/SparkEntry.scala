@@ -254,6 +254,70 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    }),
+
+    // --- G2: full lexicon extraction on the fixture ontology (golden oracle)
+    "q_literal_mappings" -> ((s, _) => {
+      ontologyLexiconFull(s)
+        .select(col("text"), concat(col("prefix"), lit(":"), col("id")).as("curie"))
+        .distinct()
+    }),
+
+    // --- J1+T2: structure-filtered lexicon subset under ancestor PATO:0000117
+    "q_subset" -> ((s, _) => {
+      val (nodes, edges) = KgPipeline.standardizeOntology(s, ontologyPath, conv, Some("PATO"))
+      val dag = graft.operators.GraphStandardizer.subClassOfEdges(edges)
+      val seeds = s.createDataFrame(Seq(Tuple1("PATO:0000117"))).toDF("curie")
+      val closure = Closure.descendants(dag, seeds)
+        .withColumn("prefix", lit("PATO"))
+        .withColumn("id", expr("substring(curie, 6)"))
+      LiteralMappings.subset(LiteralMappings.fromNodes(nodes, "PATO"), closure)
+        .select(col("text"), concat(col("prefix"), lit(":"), col("id")).as("curie"))
+    }),
+
+    // --- J3: xref-based entity merge map on the fixture ontology
+    "q_xref_merge" -> ((s, _) => {
+      val (nodes, _) = KgPipeline.standardizeOntology(s, ontologyPath, conv, Some("PATO"))
+      val m = KgPipeline.xrefCanonicalMap(nodes, Some("PATO")).toSeq
+      s.createDataFrame(m).toDF("curie", "canonical")
+    }),
+
+    // --- P1/P2/P3: squeeze + golden header + version projection
+    "q_graph_header" -> ((s, _) => {
+      val graphs = graft.sources.OboGraphReader.readGraphs(s, ontologyPath)
+      graft.sources.OboGraphReader.squeezeGraph(graphs, Some("pato"))
+        .select(col("graph_lbl"),
+          graft.sources.OboGraphReader.versionColumn.as("version"),
+          element_at(filter(col("meta.basicPropertyValues"),
+            b => b.getField("pred").contains("hasDefaultNamespace")), 1)
+            .getField("val").as("default_namespace"))
+    }),
+
+    // --- S6: cascading source resolution with recorded diagnostics
+    "q_source_resolution" -> ((s, _) => {
+      val res = graft.sources.SourceResolver.resolve(s, Seq(
+        graft.sources.SourceResolver.UnsupportedSource("/nonexistent/onto.owl", "owl"),
+        graft.sources.SourceResolver.JsonSource("/nonexistent/missing.json"),
+        graft.sources.SourceResolver.JsonSource(ontologyPath)))
+      val nGraphs = res.graphs.map(_.count()).getOrElse(0L)
+      s.createDataFrame(Seq((
+        res.resolvedFrom.map(_.kind).getOrElse("none"),
+        res.messages.size.toLong, nGraphs)))
+        .toDF("resolved_kind", "n_messages", "n_graphs")
+    }),
+
+    // --- embedding near-dup (rows-only; isotropic data → low threshold)
+    "q_dedup_embedding" -> ((s, dir) => {
+      DedupOps.embeddingNearDuplicates(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15, planes = 4)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
+    "q_media_features" -> ((s, _) => {
+      graft.operators.MultimodalOps.extractFeatures(
+        graft.operators.MultimodalOps.syntheticMedia(s, 200)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"))
     }))
 
   // ---------------------------------------------------------------------
@@ -435,7 +499,29 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // golden-VALUES oracles: the expected sets are hand-derived from reference
+    // semantics (FIXTURES.md / SURVEY §5.4) and double-asserted in unit tests
+    "q_literal_mappings" ->
+      s"""SELECT * FROM (VALUES ${lexiconValuesSql(singleWordOnly = false)}) t(text, curie)""",
+
+    "q_subset" ->
+      """SELECT * FROM (VALUES
+        | ('big','PATO:0000118'), ('large','PATO:0000118'), ('huge','PATO:0000118'),
+        | ('small','PATO:0000119'), ('little','PATO:0000119')) t(text, curie)""".stripMargin,
+
+    "q_xref_merge" ->
+      """SELECT 'CHEBI:0000118' AS curie, 'PATO:0000118' AS canonical""",
+
+    "q_graph_header" ->
+      """SELECT 'PATO - the Phenotype And Trait Ontology' AS graph_lbl,
+        | 'http://purl.obolibrary.org/obo/pato/releases/2026-01-01/pato.owl' AS version,
+        | 'quality' AS default_namespace""".stripMargin,
+
+    "q_source_resolution" ->
+      """SELECT 'obograph-json' AS resolved_kind, CAST(2 AS BIGINT) AS n_messages,
+        | CAST(1 AS BIGINT) AS n_graphs""".stripMargin)
 
   // ---------------------------------------------------------------------
   // shared lexicon builders (run the real operator chain on the fixture)

@@ -188,12 +188,22 @@ object MentionDetector {
     detectTopSlim(slim(turns.toDF()), grounder)
 
   /** Preferred scale path: slim projection in, fused top-1 out. */
-  def detectTopSlim(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder]): Dataset[Mention] = {
+  def detectTopSlim(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder],
+                    metrics: Option[graft.pipeline.RunMetrics] = None): Dataset[Mention] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.mapPartitions { it =>
       val g = grounder.value
-      it.flatMap(t => g.findTopMentions(t.conv_id, t.turn_idx, t.text))
+      it.flatMap { t =>
+        metrics.foreach(_.turnsProcessed.add(1))
+        val ms = g.findTopMentions(t.conv_id, t.turn_idx, t.text)
+        metrics.fold(ms) { m =>
+          var n = 0
+          val collected = ms.map { x => n += 1; x }.toVector
+          if (n == 0) m.emptyTurns.add(1) else m.mentionsEmitted.add(n)
+          collected.iterator
+        }
+      }
     }
   }
 
@@ -215,7 +225,8 @@ object MentionDetector {
    * second pass. Total corpus-wide shuffles in the whole pipeline: one (the
    * conversation-preserving repartition).
    */
-  def detectTriples(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder]): Dataset[Triple] = {
+  def detectTriples(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder],
+                    metrics: Option[graft.pipeline.RunMetrics] = None): Dataset[Triple] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.mapPartitions { it =>
@@ -226,6 +237,10 @@ object MentionDetector {
       val seen = new java.util.HashSet[String](128)
       it.flatMap { t =>
         g.collectTurnConcepts(t.text, buf, seen)
+        metrics.foreach { m =>
+          m.turnsProcessed.add(1)
+          if (buf.isEmpty) m.emptyTurns.add(1) else m.mentionsEmitted.add(buf.size)
+        }
         if (buf.isEmpty) Iterator.empty
         else {
           val subj = s"turn:${t.conv_id}/${t.turn_idx}"

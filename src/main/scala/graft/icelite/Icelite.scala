@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
  */
 final class Icelite(rootDir: String) extends Serializable {
 
+  def root: String = rootDir
+
   private def tableDir(table: String): Path = Paths.get(rootDir, table)
 
   def currentSnapshotId(table: String): Option[Long] = {

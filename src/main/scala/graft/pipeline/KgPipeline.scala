@@ -38,7 +38,8 @@ object KgPipeline {
       triples: DataFrame,
       nodes: DataFrame,
       mentionsTopK: DataFrame,
-      snapshotId: Option[Long])
+      snapshotId: Option[Long],
+      metrics: RunMetrics)
 
   /** Salt width for conversation partitioning (SURVEY J4). */
   val SaltBuckets = 8
@@ -172,6 +173,7 @@ object KgPipeline {
                   icelite: Option[Icelite] = None,
                   runTag: String = "run"): Result = {
     val OntologyContext(nodes, edges, grounder, canonical) = ctx
+    val metrics = new RunMetrics(spark)
 
     // ---- corpus side (huge) -----------------------------------------------
     // conversation-boundary-preserving partitioning, salted for skew: hash on
@@ -190,7 +192,10 @@ object KgPipeline {
     // Column pruning pushes the slim projection below the repartition, so
     // only (conv_id, turn_idx, text) ever shuffles.
     val slimTurns = MentionDetector.slim(turns)
-    val top = MentionDetector.detectTopSlim(slimTurns, grounder).toDF()
+    // accumulators attach to whichever detection pass actually runs per mode
+    // (icelite → the materialized top-mention snapshot; else the fused scan)
+    val top = MentionDetector.detectTopSlim(slimTurns, grounder,
+      if (icelite.isDefined) Some(metrics) else None).toDF()
 
     // ontology edges: canonicalize + distinct (tiny)
     val ontologyTriples = canonicalize(edges.select("subj", "pred", "obj"), canonical)
@@ -208,7 +213,7 @@ object KgPipeline {
         // scale path: detection + top-1 + per-turn dedup + canonicalization
         // fused into ONE map-side pass (see MentionDetector.detectTriples);
         // the only corpus-wide shuffle in the whole plan is the repartition
-        MentionDetector.detectTriples(slimTurns, grounder).toDF()
+        MentionDetector.detectTriples(slimTurns, grounder, Some(metrics)).toDF()
           .unionByName(ontologyTriples)
     }
 
@@ -217,10 +222,13 @@ object KgPipeline {
 
     val snapId = icelite.map { ic =>
       ic.writeSnapshot(nodeTable, "kg_nodes", s"$runTag/nodes")
-      ic.writeSnapshot(allTriples, "kg_edges", s"$runTag/edges")
+      val id = ic.writeSnapshot(allTriples, "kg_edges", s"$runTag/edges")
+      // diagnostics flushed AFTER the snapshot actions populate accumulators
+      metrics.write(s"${ic.root}/kg_edges/metrics/$id.json")
+      id
     }
 
-    Result(allTriples, nodeTable, top, snapId)
+    Result(allTriples, nodeTable, top, snapId, metrics)
   }
 
   /** Pipeline without icelite materialization — pure DataFrame (for bench/verify). */

@@ -106,4 +106,20 @@ object OboGraphReader {
       col("meta.version"),
       element_at(filter(col("meta.basicPropertyValues"),
         bpv => bpv.getField("pred").contains("versionIRI")), 1).getField("val"))
+
+  /**
+   * P1 `squeeze`: select the single primary graph. With `prefix` given, the
+   * graph whose id matches the canonical IRI pattern wins (P2 primary-graph
+   * guess); otherwise the first graph. Raises only on an absent document —
+   * the one hard failure the reference keeps (robot.py:64-65).
+   */
+  def squeezeGraph(graphs: DataFrame, prefix: Option[String] = None): DataFrame = {
+    val preferred = prefix.map { p =>
+      graphs.filter(lower(col("graph_id")).contains(p.toLowerCase))
+    }.filter(_.limit(1).count() > 0)
+    val chosen = preferred.getOrElse(graphs).limit(1)
+    if (chosen.limit(1).count() == 0)
+      throw new IllegalStateException("squeeze on absent graph document (robot.py:64-65 semantics)")
+    chosen
+  }
 }
