@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.curie.Converter
+import graft.fixtures.MiniOntology
+import graft.functions._
+
+/**
+ * SparkSessionExtensions hook: registers the engine's scalar family in the
+ * SQL function registry, so every operator is reachable from plain SQL —
+ *
+ *   spark.sql("SELECT compress_iri(iri_col) FROM t")
+ *
+ * Register via `.withExtensions(new GraftExtensions(converter))` or
+ * `spark.sql.extensions=graft.plans.GraftExtensions` (no-arg form uses the
+ * fixture converter; production swaps in a Bioregistry-scale prefix map via
+ * [[GraftExtensions.converterOverride]] before session build).
+ *
+ * No custom Strategy/LogicalPlan is injected on purpose (SURVEY §4.4): every
+ * whole-operator semantic the engine needs is expressible with built-in
+ * operators plus these expressions; the trie mention-detection stage is
+ * deliberately `mapPartitions` (per-partition automaton state).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  def this(converter: Converter) = { this(); GraftExtensions.converterOverride = Some(converter) }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def conv: Converter = GraftExtensions.converterOverride.getOrElse(MiniOntology.converter)
+
+    def register(name: String, builder: (Expression, Converter) => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (children: Seq[Expression]) => {
+          if (children.size != 1) throw new IllegalArgumentException(
+            s"$name expects exactly 1 argument, got ${children.size}")
+          builder(children.head, conv)
+        }))
+
+    register("compress_iri", CompressIri(_, _))
+    register("expand_curie", ExpandCurie(_, _))
+    register("normalize_prefix", NormalizePrefix(_, _))
+    register("normalize_predicate", NormalizePredicate(_, _))
+    register("standardize_id", StandardizeId(_, _))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions", "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}
+
+object GraftExtensions {
+  @volatile var converterOverride: Option[Converter] = None
+}

@@ -113,6 +113,18 @@ object OboGraphReader {
    * guess); otherwise the first graph. Raises only on an absent document —
    * the one hard failure the reference keeps (robot.py:64-65).
    */
+  /**
+   * S8 graph-document JSON sink (ParseResults.write, robot.py:86-92): write
+   * the graph rows back as JSON, dropping null/unset fields exactly like the
+   * reference's `exclude_unset/exclude_none` serialization.
+   */
+  def writeGraphDocument(graphs: DataFrame, path: String): Unit =
+    graphs
+      .select(col("graph_id").as("id"), col("graph_lbl").as("lbl"),
+        col("meta"), col("nodes"), col("edges"))
+      .coalesce(1)
+      .write.mode("overwrite").option("ignoreNullFields", "true").json(path)
+
   def squeezeGraph(graphs: DataFrame, prefix: Option[String] = None): DataFrame = {
     val preferred = prefix.map { p =>
       graphs.filter(lower(col("graph_id")).contains(p.toLowerCase))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface test: the scalar family must work from plain spark.sql. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("functions registered via SparkSessionExtensions work from SQL") {
+    // extensions bind at session BUILD — getOrCreate would silently return
+    // the shared test session, so detach it first and restore after
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions(graft.fixtures.MiniOntology.converter))
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT compress_iri('http://purl.obolibrary.org/obo/PATO_77') AS c,
+          |       expand_curie('PATO:77') AS e,
+          |       normalize_prefix('pato') AS p,
+          |       normalize_predicate('is_a') AS pr,
+          |       standardize_id('pato:9') AS sid,
+          |       simhash64(array('a','b')) = simhash64(array('a','b')) AS stable
+          |""".stripMargin).collect()(0)
+      assert(r.getString(0) == "PATO:77")
+      assert(r.getString(1) == "http://purl.obolibrary.org/obo/PATO_77")
+      assert(r.getString(2) == "PATO")
+      assert(r.getString(3) == "rdfs:subClassOf")
+      assert(r.getString(4) == "PATO:9")
+      assert(r.getBoolean(5))
+      // null-in → null-out through SQL
+      assert(s.sql("SELECT compress_iri(CAST(NULL AS STRING))").collect()(0).isNullAt(0))
+    } finally {
+      // do NOT stop the context (shared JVM); just restore the prior session
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

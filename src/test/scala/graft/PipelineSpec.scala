@@ -129,6 +129,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(cRecall >= 0.9, s"clustered ANN recall $cRecall too low")
   }
 
+  test("plan: the fused pipeline has exactly ONE corpus-wide shuffle") {
+    val tr = Transcripts.synthetic(spark, 200)
+    val triples = KgPipeline.run(spark, tr, ontPath).triples
+    val plan = triples.queryExecution.executedPlan.toString
+    // count Exchange operators feeding the corpus branch; the ontology branch
+    // is rows-scale (allowed small exchanges), so assert on the corpus side:
+    // the mapPartitions (SerializeFromObject/MapPartitions) sits directly
+    // above exactly one Exchange
+    val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(plan).length
+    val ontologySideExchanges = 2 // edge dedup partial/final + union-side at most
+    assert(exchanges <= 1 + ontologySideExchanges, s"too many shuffles:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"), plan)
+  }
+
+  test("bulk runner: canonical-prefix guard, failure recording, per-prefix run") {
+    import graft.pipeline.BulkRunner
+    import graft.sources.SourceResolver._
+    val tr = Transcripts.synthetic(spark, 50)
+    val reports = BulkRunner.run(spark, Seq(
+      BulkRunner.OntologyJob("nonsense_prefix", Seq(JsonSource(ontPath))),
+      BulkRunner.OntologyJob("pato", Seq(
+        JsonSource("/nonexistent.json"), JsonSource(ontPath))),
+      BulkRunner.OntologyJob("PATO", Seq(JsonSource("/also/nonexistent.json")))),
+      tr, MiniOntology.converter)
+    assert(!reports(0).ok && reports(0).messages.head.contains("not a canonical prefix"))
+    assert(reports(1).ok && reports(1).prefix == "PATO") // synonym spelling canonicalized
+    assert(reports(1).version.exists(_.contains("2026-01-01")))
+    assert(reports(1).triples > 0)
+    assert(reports(1).messages.nonEmpty) // the failed first source was recorded
+    assert(!reports(2).ok && reports(2).messages.nonEmpty)
+  }
+
+  test("S8 JSON sink round-trips the graph document (nulls dropped)") {
+    val graphs = graft.sources.OboGraphReader.readGraphs(spark, ontPath)
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString + "/doc"
+    graft.sources.OboGraphReader.writeGraphDocument(graphs, out)
+    val txt = spark.read.text(out).collect().map(_.getString(0)).mkString("\n")
+    assert(txt.contains("\"lbl\":\"PATO - the Phenotype And Trait Ontology\""))
+    assert(!txt.contains("null")) // exclude_none semantics (robot.py:90-92)
+  }
+
   test("grounder.ground API parity: scored matches ranked by quality") {
     val ctx = KgPipeline.prepare(spark, ontPath)
     val m = ctx.grounder.value.ground("trait")
