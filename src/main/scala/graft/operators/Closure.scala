@@ -38,8 +38,9 @@ object Closure {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       frontier.schema)
 
-    var frontierCount = frontier.count()
-    while (frontierCount > 0) {
+    // emptiness probe, not a full count — saves one full pass per iteration
+    var nonEmpty = frontier.limit(1).count() > 0
+    while (nonEmpty) {
       val next = edges.join(broadcast(frontier), edges("parent") === frontier("curie"))
         .select(col("child").as("curie")).distinct()
         // only genuinely new nodes continue (cycle-safe, termination guaranteed)
@@ -48,7 +49,7 @@ object Closure {
         .localCheckpoint(true)
       acc = acc.unionByName(next).localCheckpoint(true)
       frontier = next
-      frontierCount = frontier.count()
+      nonEmpty = frontier.limit(1).count() > 0
     }
     acc.distinct()
   }
