@@ -275,11 +275,10 @@ object SparkEntry {
         .select(col("text"), concat(col("prefix"), lit(":"), col("id")).as("curie"))
     }),
 
-    // --- J3: xref-based entity merge map on the fixture ontology
+    // --- J3: xref + equivalentNodesSets entity merge map on the fixture ontology
     "q_xref_merge" -> ((s, _) => {
-      val (nodes, _) = KgPipeline.standardizeOntology(s, ontologyPath, conv, Some("PATO"))
-      val m = KgPipeline.xrefCanonicalMap(nodes, Some("PATO")).toSeq
-      s.createDataFrame(m).toDF("curie", "canonical")
+      val ctx = KgPipeline.prepare(s, ontologyPath, conv, Some("PATO"))
+      s.createDataFrame(ctx.canonical.toSeq).toDF("curie", "canonical")
     }),
 
     // --- P1/P2/P3: squeeze + golden header + version projection
@@ -512,7 +511,9 @@ object SparkEntry {
         | ('small','PATO:0000119'), ('little','PATO:0000119')) t(text, curie)""".stripMargin,
 
     "q_xref_merge" ->
-      """SELECT 'CHEBI:0000118' AS curie, 'PATO:0000118' AS canonical""",
+      """SELECT * FROM (VALUES
+        | ('CHEBI:0000118', 'PATO:0000118'),
+        | ('CHEBI:0000777', 'PATO:0000120')) t(curie, canonical)""".stripMargin,
 
     "q_graph_header" ->
       """SELECT 'PATO - the Phenotype And Trait Ontology' AS graph_lbl,

@@ -126,7 +126,9 @@ object MiniOntology {
        |             {"pred": "http://www.geneontology.org/formats/oboInOwl#hasDefaultNamespace",
        |              "val": "quality"}]},
        |  "nodes": [${nodes.mkString(",\n    ")}],
-       |  "edges": [${edges.mkString(",\n    ")}]
+       |  "edges": [${edges.mkString(",\n    ")}],
+       |  "equivalentNodesSets": [
+       |    {"nodeIds": ["${P}0000120", "${C}0000777"]}]
        |}]}""".stripMargin
   }
 

@@ -68,6 +68,22 @@ object GraphStandardizer {
       .dropDuplicates("subj", "pred", "obj")
   }
 
+  /**
+   * equivalentNodesSets → undirected merge edges (OBO Graph JSON's second
+   * entity-equivalence signal; [dep: obographs] in SURVEY §1.1). Each set
+   * {a, b, c} contributes a chain a-b, a-c — enough for connected
+   * components to collapse the set.
+   */
+  def equivalentNodeEdges(graphs: DataFrame, converter: Converter): DataFrame = {
+    graphs
+      .select(explode(coalesce(col("equivalentNodesSets"),
+        array().cast("array<struct<nodeIds:array<string>>>"))).as("ens"))
+      .select(transform(col("ens.nodeIds"), id => standardize_id(id, converter)).as("ids"))
+      .select(filter(col("ids"), _.isNotNull).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(element_at(col("ids"), 1).as("a"), explode(slice(col("ids"), 2, 10000)).as("b"))
+  }
+
   /** P7: the subClassOf DAG (T1) — child → parent edges. */
   def subClassOfEdges(stdEdges: DataFrame): DataFrame =
     stdEdges.filter(col("pred") === graft.model.Vocab.SubClassOf).select("subj", "obj")

@@ -60,10 +60,12 @@ object KgPipeline {
   /** Above this edge count, xref CC runs distributed; below, driver union-find. */
   val DriverUnionFindLimit = 200000L
 
-  def xrefCanonicalMap(nodes: DataFrame, preferPrefix: Option[String] = None): Map[String, String] = {
-    val xrefEdges = nodes
+  def xrefCanonicalMap(nodes: DataFrame, preferPrefix: Option[String] = None,
+                       extraEdges: Option[DataFrame] = None): Map[String, String] = {
+    val nodeXrefs = nodes
       .select(col("curie").as("a"), explode(col("xrefs")).as("b"))
       .filter(col("b").isNotNull)
+    val xrefEdges = extraEdges.fold(nodeXrefs)(e => nodeXrefs.unionByName(e))
 
     // Ontology xref graphs are tiny relative to the corpus; SURVEY J3's
     // driver union-find + broadcast map is both exact and ~20× cheaper in
@@ -146,10 +148,15 @@ object KgPipeline {
               converter: Converter = MiniOntology.converter,
               prefix: Option[String] = Some("PATO"),
               extraLexicon: Option[DataFrame] = None): OntologyContext = {
-    val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
+    val graphs = OboGraphReader.readGraphs(spark, ontologyJsonPath)
+    val nodes = GraphStandardizer.standardizeNodes(graphs, converter, prefix).cache()
+    val edges = GraphStandardizer.standardizeEdges(graphs, converter).cache()
     val ownLexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
     val lexicon = extraLexicon.fold(ownLexicon)(x => ownLexicon.unionByName(x))
-    val canonical = xrefCanonicalMap(nodes, prefix)
+    // entity merge signals: node xrefs + equivalentNodesSets (both public
+    // OBO Graph JSON equivalence carriers)
+    val ensEdges = GraphStandardizer.equivalentNodeEdges(graphs, converter)
+    val canonical = xrefCanonicalMap(nodes, prefix, Some(ensEdges))
     // entity merge folded into the index: grounder entries are born canonical
     val grounder = spark.sparkContext.broadcast(Grounder.build(lexicon, canonical))
     OntologyContext(nodes, edges, grounder, canonical)
