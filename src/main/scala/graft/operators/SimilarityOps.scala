@@ -24,16 +24,13 @@ object SimilarityOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Dot product of a vector column against a literal plane. */
-  private def dotLit(v: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(v, typedlit(plane), (x, y) => x.cast("double") * y),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Sign-bit bucket id of `v` under `nPlanes` fixed hyperplanes. */
+  /** Sign-bit bucket id of `v` under `nPlanes` fixed hyperplanes — native
+    * expression (graft.functions.HyperplaneBucket): the Catalyst-HOF
+    * composition creates an nPlanes×dim literal tree with seconds of janino
+    * compile time per plan. */
   def hyperplaneBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column =
-    planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
-      when(dotLit(v, p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.HyperplaneBucket(v,
+      planes(nPlanes, dim).map(_.toArray).toArray)
 
   /** Exact cosine between two vector columns. */
   def cosine(a: Column, b: Column): Column = DedupOps.cosine(a, b)
