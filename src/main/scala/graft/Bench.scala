@@ -39,34 +39,36 @@ object Bench {
   }
 
   /**
-   * Pipeline throughput at one parallelism level: ontology context prepared
-   * once (amortized at 10^12-turn scale), then `reps` full corpus passes —
-   * the first discarded as per-level warm-up, min of the rest reported
-   * (standard steady-state protocol; a cluster never runs cold per batch).
-   * Grounder = mini ontology + a 50k-term synthetic lexicon (GO-scale
-   * automaton, so detection is compute- not bandwidth-bound).
+   * Pipeline passes at one parallelism level: ontology context prepared once
+   * (amortized at 10^12-turn scale — rebuilding the automaton per batch
+   * would serialize the cluster on the driver), then `reps` full corpus
+   * passes, each wall-timed. Grounder = mini ontology + a 150k-term
+   * synthetic lexicon (GO/Bioregistry scale, so detection is compute- not
+   * bandwidth-bound).
    */
-  private def pipelineRun(spark: SparkSession, nConvs: Long, reps: Int = 6): (Long, Long, Double) = {
+  private def pipelineRun(spark: SparkSession, nConvs: Long, reps: Int): (Long, Long, Seq[Double]) = {
     val transcripts = Transcripts.synthetic(spark, nConvs).cache()
     val nTurns = transcripts.count() // materialize input outside the timed region
     val ontPath = MiniOntology.writeTo("target/fixtures")
-    // 150k-term automaton (GO/Bioregistry scale) — detection must be
-    // compute-dominant, or the sandbox measures memory bandwidth, not the op
     val ctx = KgPipeline.prepare(spark, ontPath,
       extraLexicon = Some(Transcripts.bigLexicon(spark, singleTerms = 1500, pairTerms = 150000)))
-    var best = Double.MaxValue
     var triples = 0L
-    for (r <- 0 until reps) {
+    // run to plateau: per-thread row volume differs 4x between levels, so
+    // C2 warm-up needs a different number of passes per level — fixed rep
+    // counts under-warm whichever level has more threads. Stop when the
+    // running min hasn't improved >3% for two consecutive passes (cap 8).
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    var staleness = 0
+    while (times.size < reps || (staleness < 2 && times.size < 8)) {
       val t0 = System.nanoTime()
       triples = KgPipeline.runPrepared(spark, transcripts, ctx).triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // measured convergence: C2 JIT of the scan loop takes ~2 full passes at
-      // this input size — first two reps are warm-up, min of the rest is the
-      // steady-state estimate
-      if (r >= 2) best = math.min(best, sec)
+      val prevMin = if (times.isEmpty) Double.MaxValue else times.min
+      times += sec
+      staleness = if (sec < prevMin * 0.97) 0 else staleness + 1
     }
     transcripts.unpersist()
-    (nTurns, triples, best)
+    (nTurns, triples, times.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,22 +90,23 @@ object Bench {
     spark1.stop()
 
     // ---- part 2: two-parallelism scaling on the KG pipeline -------------
-    // cross-level JIT warm-up: the FIRST session of a JVM runs the hot loop
-    // 2-3x slower for its whole lifetime (measured); a small pass at each
-    // level first puts both measured sessions in the same steady state
-    Seq(8, 32).foreach { c =>
-      val w = newSession(c); pipelineRun(w, 20000, reps = 1); w.stop()
+    // INTERLEAVED rounds of fresh sessions (8,32)x3, two passes each, min
+    // per level over all rounds. Interleaving removes the level-order JIT
+    // bias of a shared JVM (whichever level runs later would otherwise
+    // inherit a better-compiled hot loop — measured swings of 0.6-1.3x on
+    // this VM); min-over-rounds is the steady-state estimate a cluster
+    // would run at.
+    var turnsL, triplesL, turnsH, triplesH = 0L
+    var timesL, timesH = Seq.empty[Double]
+    for (round <- 1 to 2; cpus <- Seq(8, 32)) {
+      val s = newSession(cpus)
+      val (t, tr, times) = pipelineRun(s, benchConvs, reps = if (round == 1) 2 else 3)
+      s.stop()
+      if (cpus == 8) { turnsL = t; triplesL = tr; timesL ++= times }
+      else { turnsH = t; triplesH = tr; timesH ++= times }
     }
-
-    // fresh session per level; identical input (seed-fixed generator)
-    val sparkLow = newSession(8)
-    val (turnsL, triplesL, secL) = pipelineRun(sparkLow, benchConvs)
-    sparkLow.stop()
-
-    val sparkHigh = newSession(32)
-    val (turnsH, triplesH, secH) = pipelineRun(sparkHigh, benchConvs)
-    sparkHigh.stop()
-
+    val secL = timesL.min
+    val secH = timesH.min
     val thrL = turnsL / secL
     val thrH = turnsH / secH
     val eff = (thrH / thrL) / 4.0

@@ -22,20 +22,38 @@ import scala.collection.mutable
  * (array-backed, no closures) so broadcasting is cheap.
  */
 final class AhoCorasick private (
-    // flat automaton arrays; node 0 = root. Boxed key/value types on purpose:
-    // java.util.Map[Char, Int] in Scala silently unboxes a missing-key null
-    // to 0, corrupting the trie — Character/Integer keeps null observable.
-    gotoMaps: Array[java.util.HashMap[Character, Integer]],
+    // compiled automaton: per node a SORTED char array + parallel target
+    // array (binary search per step — no boxing, cache-friendly), plus a
+    // direct-indexed table for the root's ASCII transitions (the root is by
+    // far the most-visited state on natural text).
+    nodeChars: Array[Array[Char]],
+    nodeTargets: Array[Array[Int]],
+    rootAscii: Array[Int], // 128 entries, -1 = no transition
     fail: Array[Int],
     // per node: ids of patterns ending here (via output links already merged)
     out: Array[Array[Int]],
     val patterns: Array[String]) extends Serializable {
 
+  @inline private def lookup(s: Int, c: Char): Int = {
+    if (s == 0 && c < 128) return rootAscii(c)
+    val chars = nodeChars(s)
+    var lo = 0
+    var hi = chars.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = chars(mid)
+      if (mc == c) return nodeTargets(s)(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
   @inline private def step(state: Int, c: Char): Int = {
     var s = state
     while (true) {
-      val nxt: Integer = gotoMaps(s).get(Character.valueOf(c))
-      if (nxt != null) return nxt.intValue()
+      val nxt = lookup(s, c)
+      if (nxt >= 0) return nxt
       if (s == 0) return 0
       s = fail(s)
     }
@@ -149,6 +167,32 @@ object AhoCorasick {
       }
     }
 
-    new AhoCorasick(gotoMaps.toArray, fail, outSets.map(_.toArray).toArray, patterns)
+    // compile the HashMap trie (build-friendly) into flat sorted arrays
+    // (scan-friendly): boxing-free binary-search transitions + a direct
+    // root table. Build keeps Character/Integer deliberately —
+    // java.util.Map[Char, Int] in Scala silently unboxes missing-key null
+    // to 0, which corrupts the trie.
+    val nNodes = gotoMaps.length
+    val nodeChars = new Array[Array[Char]](nNodes)
+    val nodeTargets = new Array[Array[Int]](nNodes)
+    var s = 0
+    while (s < nNodes) {
+      val entries = new mutable.ArrayBuffer[(Char, Int)](gotoMaps(s).size)
+      gotoMaps(s).forEach((c: Character, t: Integer) => entries += ((c.charValue(), t.intValue())))
+      val sorted = entries.sortBy(_._1)
+      nodeChars(s) = sorted.map(_._1).toArray
+      nodeTargets(s) = sorted.map(_._2).toArray
+      s += 1
+    }
+    val rootAscii = Array.fill(128)(-1)
+    var i = 0
+    while (i < nodeChars(0).length) {
+      val c = nodeChars(0)(i)
+      if (c < 128) rootAscii(c) = nodeTargets(0)(i)
+      i += 1
+    }
+
+    new AhoCorasick(nodeChars, nodeTargets, rootAscii, fail,
+      outSets.map(_.toArray).toArray, patterns)
   }
 }
