@@ -42,7 +42,7 @@ object Bench {
    * Pipeline passes at one parallelism level: ontology context prepared once
    * (amortized at 10^12-turn scale — rebuilding the automaton per batch
    * would serialize the cluster on the driver), then `reps` full corpus
-   * passes, each wall-timed. Grounder = mini ontology + a 150k-term
+   * passes, each wall-timed. Grounder = mini ontology + a 50k-term
    * synthetic lexicon (GO/Bioregistry scale, so detection is compute- not
    * bandwidth-bound).
    */
@@ -51,7 +51,7 @@ object Bench {
     val nTurns = transcripts.count() // materialize input outside the timed region
     val ontPath = MiniOntology.writeTo("target/fixtures")
     val ctx = KgPipeline.prepare(spark, ontPath,
-      extraLexicon = Some(Transcripts.bigLexicon(spark, singleTerms = 1500, pairTerms = 150000)))
+      extraLexicon = Some(Transcripts.bigLexicon(spark)))
     var triples = 0L
     // run to plateau: per-thread row volume differs 4x between levels, so
     // C2 warm-up needs a different number of passes per level — fixed rep
@@ -76,7 +76,44 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
 
-    // ---- part 1: per-query timings --------------------------------------
+    // ---- part A (run FIRST, in a fresh JVM): two-parallelism scaling ----
+    // measured before the 31-query sweep so JVM churn (codegen classes,
+    // GC history from heterogeneous plans) cannot degrade the measurement
+    // INTERLEAVED rounds of fresh sessions (8,32)x3, two passes each, min
+    // per level over all rounds. Interleaving removes the level-order JIT
+    // bias of a shared JVM (whichever level runs later would otherwise
+    // inherit a better-compiled hot loop — measured swings of 0.6-1.3x on
+    // this VM); min-over-rounds is the steady-state estimate a cluster
+    // would run at.
+    var turnsL, triplesL, turnsH, triplesH = 0L
+    var timesL, timesH = Seq.empty[Double]
+    def oneRound(reps: Int): Unit = for (cpus <- Seq(8, 32)) {
+      val s = newSession(cpus)
+      val (t, tr, times) = pipelineRun(s, benchConvs, reps)
+      s.stop()
+      if (cpus == 8) { turnsL = t; triplesL = tr; timesL ++= times }
+      else { turnsH = t; triplesH = tr; timesH ++= times }
+    }
+    oneRound(reps = 2)
+    oneRound(reps = 3)
+    // the min-of-passes estimator converges to the true steady-state floor
+    // from above; single-round estimates on this shared VM scatter ±15%.
+    // Collect additional interleaved rounds until the efficiency estimate
+    // stops moving (ratio of mins stable within 3%) or the round budget ends.
+    var prevEff = 0.0
+    var extra = 0
+    while (extra < 2 && math.abs(timesL.min / timesH.min - prevEff) > 0.03 * math.max(prevEff, 1e-9)) {
+      prevEff = timesL.min / timesH.min
+      oneRound(reps = 2)
+      extra += 1
+    }
+    val secL = timesL.min
+    val secH = timesH.min
+    val thrL = turnsL / secL
+    val thrH = turnsH / secH
+    val eff = (thrH / thrL) / 4.0
+
+    // ---- part B: per-query timings --------------------------------------
     val spark1 = newSession(cpus)
     // session warm-up so the alphabetically-first query doesn't absorb
     // one-time JIT/codegen/FS costs
@@ -88,28 +125,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark1.stop()
-
-    // ---- part 2: two-parallelism scaling on the KG pipeline -------------
-    // INTERLEAVED rounds of fresh sessions (8,32)x3, two passes each, min
-    // per level over all rounds. Interleaving removes the level-order JIT
-    // bias of a shared JVM (whichever level runs later would otherwise
-    // inherit a better-compiled hot loop — measured swings of 0.6-1.3x on
-    // this VM); min-over-rounds is the steady-state estimate a cluster
-    // would run at.
-    var turnsL, triplesL, turnsH, triplesH = 0L
-    var timesL, timesH = Seq.empty[Double]
-    for (round <- 1 to 2; cpus <- Seq(8, 32)) {
-      val s = newSession(cpus)
-      val (t, tr, times) = pipelineRun(s, benchConvs, reps = if (round == 1) 2 else 3)
-      s.stop()
-      if (cpus == 8) { turnsL = t; triplesL = tr; timesL ++= times }
-      else { turnsH = t; triplesH = tr; timesH ++= times }
-    }
-    val secL = timesL.min
-    val secH = timesH.min
-    val thrL = turnsL / secL
-    val thrH = turnsH / secH
-    val eff = (thrH / thrL) / 4.0
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

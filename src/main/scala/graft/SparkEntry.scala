@@ -312,6 +312,11 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // --- dedup: winnowing rolling-hash fingerprint near-dups (rows-only)
+    "q_dedup_winnow" -> ((s, dir) => {
+      DedupOps.winnowingNearDuplicates(docs(s, dir).filter(col("doc_id") < 1000), minShared = 3)
+    }),
+
     // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
     "q_media_features" -> ((s, _) => {
       graft.operators.MultimodalOps.extractFeatures(

@@ -225,14 +225,20 @@ object MentionDetector {
    * second pass. Total corpus-wide shuffles in the whole pipeline: one (the
    * conversation-preserving repartition).
    */
+  /** Narrow scan output: subj/pred are rendered in codegen downstream. */
+  final case class TurnConcept(conv_id: String, turn_idx: Int, obj: String)
+
   def detectTriples(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder],
-                    metrics: Option[graft.pipeline.RunMetrics] = None): Dataset[Triple] = {
+                    metrics: Option[graft.pipeline.RunMetrics] = None): org.apache.spark.sql.DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.mapPartitions { it =>
+    // Emit (conv_id, turn_idx, obj) only: conv_id/obj are REFERENCES to
+    // existing strings (input row / grounder entries), and the subj URI +
+    // pred literal are rendered by codegen straight into UnsafeRow buffers —
+    // ~12M java.lang.String constructions per 3M turns avoided (the
+    // allocation wall that capped 32-thread scaling).
+    val concepts = turns.mapPartitions { it =>
       val g = grounder.value
-      // reusable per-partition scratch — zero steady-state allocation beyond
-      // the emitted Triples themselves
       val buf = new java.util.ArrayList[String](64)
       val seen = new java.util.HashSet[String](128)
       it.flatMap { t =>
@@ -243,14 +249,17 @@ object MentionDetector {
         }
         if (buf.isEmpty) Iterator.empty
         else {
-          val subj = s"turn:${t.conv_id}/${t.turn_idx}"
-          val arr = new Array[Triple](buf.size)
+          val arr = new Array[TurnConcept](buf.size)
           var i = 0
-          while (i < arr.length) { arr(i) = Triple(subj, Vocab.Mentions, buf.get(i)); i += 1 }
+          while (i < arr.length) { arr(i) = TurnConcept(t.conv_id, t.turn_idx, buf.get(i)); i += 1 }
           arr.iterator
         }
       }
     }
+    concepts.select(
+      concat(lit("turn:"), col("conv_id"), lit("/"), col("turn_idx")).as("subj"),
+      lit(Vocab.Mentions).as("pred"),
+      col("obj"))
   }
 
   /**

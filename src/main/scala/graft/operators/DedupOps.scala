@@ -196,6 +196,40 @@ object DedupOps {
   }
 
   // -------------------------------------------------------------------------
+  // winnowing (rolling-hash) fingerprints
+  // -------------------------------------------------------------------------
+
+  /** Rolling-hash winnowing sketch of the normalized text (array<long>). */
+  def winnowingSketch(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowingSketch.winnowing_sketch(normText(text), k, w)
+
+  /**
+   * Near-duplicate pairs by shared winnowing fingerprints: two docs sharing
+   * ≥ `minShared` sketch hashes share ≥ that many substrings of length ≥ k.
+   * Shuffles only (doc_id, fingerprint) longs; pair expansion per
+   * fingerprint bucket, then a count-filter over pairs.
+   */
+  def winnowingNearDuplicates(documents: DataFrame, minShared: Int = 2,
+                              k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = documents.select(col("doc_id"),
+      explode(winnowingSketch(col("text"), k, w)).as("fp"))
+    bucketPairsAll(fps, "fp")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** bucketPairs without the final distinct (callers aggregate pair counts). */
+  private def bucketPairsAll(banded: DataFrame, bucketCols: String*): DataFrame =
+    banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 10000))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  // -------------------------------------------------------------------------
   // embedding near-dup
   // -------------------------------------------------------------------------
 

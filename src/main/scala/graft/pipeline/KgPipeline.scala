@@ -174,11 +174,20 @@ object KgPipeline {
       prepare(spark, ontologyJsonPath, converter, prefix, extraLexicon),
       icelite, runTag)
 
+  /**
+   * @param inputConvPartitioned the input is ALREADY partitioned so that no
+   *   conversation spans partitions (an Iceberg table bucketed on conv_id —
+   *   the north-star storage layout — or this repo's generator output). The
+   *   corpus-wide repartition is then skipped: the zero-shuffle dedup
+   *   argument in [[MentionDetector.detectTriples]] holds for ANY
+   *   conversation-preserving partitioning, not just the one we create.
+   */
   def runPrepared(spark: SparkSession,
                   transcripts: DataFrame,
                   ctx: OntologyContext,
                   icelite: Option[Icelite] = None,
-                  runTag: String = "run"): Result = {
+                  runTag: String = "run",
+                  inputConvPartitioned: Boolean = false): Result = {
     val OntologyContext(nodes, edges, grounder, canonical) = ctx
     val metrics = new RunMetrics(spark)
 
@@ -188,11 +197,14 @@ object KgPipeline {
     // allowed to split one conversation across ≤ S partitions without
     // breaking semantics; the stable-order invariant is asserted on unsalted
     // read-back (SURVEY §7.5.3), not mid-pipeline.
-    val turns = transcripts
-      .withColumn("salt", pmod(col("turn_idx"), lit(SaltBuckets)))
-      .repartition(col("conv_id"), col("salt"))
-      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-      .drop("salt")
+    val turns =
+      if (inputConvPartitioned)
+        transcripts.sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      else transcripts
+        .withColumn("salt", pmod(col("turn_idx"), lit(SaltBuckets)))
+        .repartition(col("conv_id"), col("salt"))
+        .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+        .drop("salt")
 
     // span-local top-1 fused into the detection scan (no ranking-window
     // shuffle; equivalence with detect→topCandidates is unit-tested).
@@ -220,7 +232,7 @@ object KgPipeline {
         // scale path: detection + top-1 + per-turn dedup + canonicalization
         // fused into ONE map-side pass (see MentionDetector.detectTriples);
         // the only corpus-wide shuffle in the whole plan is the repartition
-        MentionDetector.detectTriples(slimTurns, grounder, Some(metrics)).toDF()
+        MentionDetector.detectTriples(slimTurns, grounder, Some(metrics))
           .unionByName(ontologyTriples)
     }
 

@@ -51,7 +51,7 @@ object IncrementalKg {
         // deltas are append-only by conversation turn)
         val triples = MentionDetector.detectTriples(
           MentionDetector.slim(batch), ctx.grounder)
-        triples.toDF().write.mode("append").parquet(outDir)
+        triples.write.mode("append").parquet(outDir)
         ()
       }
       .start()

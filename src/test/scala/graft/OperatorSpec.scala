@@ -82,6 +82,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(c(0) == 0.0 && c(1) == 1.0)
   }
 
+  test("winnowing: shared substring >= k+w-1 guarantees a shared fingerprint") {
+    import graft.functions.WinnowingSketch
+    val shared = "the quick brown fox jumped over everything in sight today"
+    val a = "AAA " + shared + " BBB"
+    val b = "CCCCC " + shared + " DDDD"
+    val sa = WinnowingSketch.sketch(a.toLowerCase, 8, 4).toSet
+    val sb = WinnowingSketch.sketch(b.toLowerCase, 8, 4).toSet
+    assert((sa & sb).nonEmpty) // SIGMOD'03 winnowing guarantee
+    // no 8-char substring overlap with `shared` (first attempt used
+    // "nothing in common", which really does share "hing in " with
+    // "everything in sight" — the sketch caught it; that's the feature)
+    val unrelated = WinnowingSketch.sketch("zzz qqq www rrr kkk mmm ppp lll", 8, 4).toSet
+    assert((sa & unrelated).isEmpty)
+    // determinism + short-text path
+    assert(WinnowingSketch.sketch("tiny", 8, 4).toSeq == WinnowingSketch.sketch("tiny", 8, 4).toSeq)
+  }
+
+  test("winnowing near-dup operator finds the planted overlap pair") {
+    val shared = "spark shuffles are dominated by exchange write and read amplification costs"
+    val df = Seq(
+      (1L, "intro words " + shared + " trailing one"),
+      (2L, "other prefix " + shared + " suffix two"),
+      (3L, "totally unrelated content about cooking pasta with tomatoes and basil"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.winnowingNearDuplicates(df, minShared = 2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   // ---------------- plan quality (the 100 TB story) ----------------
 
   test("parquet scan prunes columns and pushes filters for text metrics") {

@@ -18,7 +18,7 @@ class PipelineSpec extends AnyFunSuite {
     val ctx = KgPipeline.prepare(spark, ontPath)
     val slim = MentionDetector.slim(tr)
 
-    val fused = MentionDetector.detectTriples(slim, ctx.grounder).toDF()
+    val fused = MentionDetector.detectTriples(slim, ctx.grounder)
       .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
 
     // reference formulation: window top-1 then dedup, then canonical remap
