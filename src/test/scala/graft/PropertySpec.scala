@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.curie.Converter
+import graft.fixtures.MiniOntology
+import graft.ground.AhoCorasick
+import graft.functions.WinnowingSketch
+
+/**
+ * Property tests (SURVEY §5 plan #3): compress∘expand identity, normalization
+ * idempotence, automaton match-span soundness/completeness, winnowing
+ * shared-substring guarantee. Pure JVM (no SparkSession) — these pin the
+ * kernels every distributed operator is built from.
+ */
+object GraftProperties extends Properties("graft") {
+
+  val conv: Converter = MiniOntology.converter
+
+  val genPrefix: Gen[String] = Gen.oneOf("PATO", "CHEBI", "BFO", "RO")
+  val genLocalId: Gen[String] = Gen.chooseNum(0L, Long.MaxValue).map(_.toString)
+
+  property("expand(compress(iri)) == iri") =
+    forAll(genPrefix, genLocalId) { (p, id) =>
+      val iri = conv.expandOrNull(s"$p:$id")
+      iri != null && conv.compressToCurie(iri) == s"$p:$id" &&
+        conv.expandOrNull(conv.compressToCurie(iri)) == iri
+    }
+
+  property("compress never throws and is null-or-curie on arbitrary strings") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val c = conv.compressToCurie(s)
+      c == null || c.contains(":")
+    }
+
+  property("normalize is idempotent") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = AhoCorasick.normalize(s)
+      AhoCorasick.normalize(once) == once
+    }
+
+  property("normalize output has no upper-case, no runs, no edge separators") =
+    forAll(Gen.asciiStr) { s =>
+      val n = AhoCorasick.normalize(s)
+      !n.exists(_.isUpper) && !n.contains("  ") &&
+        !n.startsWith(" ") && !n.endsWith(" ")
+    }
+
+  private val word: Gen[String] = Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+
+  property("automaton finds a planted word at a word boundary; spans are sound") = {
+    forAll(Gen.listOfN(6, word), word) { (noise, term) =>
+      val ac = AhoCorasick.build(Seq(term))
+      val text = (noise.take(3) :+ term) ++ noise.drop(3) mkString " "
+      val ms = ac.findAll(text)
+      // completeness: the planted occurrence is found
+      val found = ms.exists { case (s, e, pid) => text.substring(s, e) == term && pid == 0 }
+      // soundness: every reported span is exactly the pattern at a boundary
+      val sound = ms.forall { case (s, e, _) =>
+        text.substring(s, e) == term &&
+          (s == 0 || !text.charAt(s - 1).isLetterOrDigit) &&
+          (e == text.length || !text.charAt(e).isLetterOrDigit)
+      }
+      found && sound
+    }
+  }
+
+  property("winnowing: identical text -> identical sketch; sketch non-empty") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val a = WinnowingSketch.sketch(s, 8, 4)
+      val b = WinnowingSketch.sketch(s, 8, 4)
+      a.toSeq == b.toSeq && a.nonEmpty
+    }
+
+  property("winnowing: a long shared substring guarantees a shared fingerprint") = {
+    val longWord: Gen[String] = Gen.stringOfN(24, Gen.alphaLowerChar) // >= k+w-1 = 11
+    forAll(longWord, word, word) { (shared, p1, p2) =>
+      val sa = WinnowingSketch.sketch(s"$p1 zz $shared", 8, 4).toSet
+      val sb = WinnowingSketch.sketch(s"$p2 qq $shared xx", 8, 4).toSet
+      (sa & sb).nonEmpty
+    }
+  }
+
+  property("Ref.fromCurie round-trips prefix:id") =
+    forAll(genPrefix, genLocalId) { (p, id) =>
+      graft.model.Ref.fromCurie(s"$p:$id").contains(graft.model.Ref(p, id))
+    }
+}
