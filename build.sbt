@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked process's stdout UNWRAPPED (no "[info] " prefix): the
+// bench/verify driver greps stdout for a bare JSON line, and sbt's default
+// LoggedOutput strategy would prefix it (round-1 BENCH parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,7 +135,14 @@ object Bench {
         f""""turns_per_sec_8":$thrL%.0f,"turns_per_sec_32":$thrH%.0f,""" +
         f""""triples_per_sec_32":${triplesH / secH}%.0f,""" +
         f""""efficiency":$eff%.3f,"identical_output":${triplesL == triplesH}}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    // belt and braces: the driver parses stdout, but sbt log decoration has
+    // eaten the line before (round-1 parsed:null) — also persist to a
+    // well-known file so the signal always lands.
+    val benchFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(benchFile.getParent)
+    java.nio.file.Files.write(benchFile, json.getBytes("UTF-8"))
+    println(json)
   }
 }
