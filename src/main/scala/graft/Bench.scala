@@ -30,12 +30,33 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-per-file on the bucketed corpus (files are the bucket unit; a
+      // conversation never splits across tasks, and both parallelism levels
+      // see identical fine-grained task sets)
+      .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       // shuffle spill to tmpfs: the sandbox measures CPU scaling, not the
       // sandbox's single virtio disk (a real cluster has per-node disks)
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Corpus storage layout of the north star: conv_id-bucketed files (the
+    * Iceberg `bucket(conv_id)` layout), written ONCE outside every timed
+    * region. 4 buckets/core at the high level → fine-grained, identical task
+    * sets at both parallelism levels. */
+  val CorpusPath = "/dev/shm/graft-bench-corpus"
+  val CorpusBuckets = 128
+
+  private def writeCorpus(nConvs: Long): Long = {
+    val s = newSession(32)
+    val df = Transcripts.synthetic(s, nConvs)
+    df.repartition(CorpusBuckets, org.apache.spark.sql.functions.col("conv_id"))
+      .write.mode("overwrite").parquet(CorpusPath)
+    val n = s.read.parquet(CorpusPath).count()
+    s.stop()
+    n
   }
 
   /**
@@ -46,9 +67,18 @@ object Bench {
    * synthetic lexicon (GO/Bioregistry scale, so detection is compute- not
    * bandwidth-bound).
    */
-  private def pipelineRun(spark: SparkSession, nConvs: Long, reps: Int): (Long, Long, Seq[Double]) = {
-    val transcripts = Transcripts.synthetic(spark, nConvs).cache()
-    val nTurns = transcripts.count() // materialize input outside the timed region
+  /**
+   * @param bucketedStorage true → read the conv_id-bucketed parquet corpus
+   *        (Iceberg-layout storage; zero-shuffle path, the deployment shape);
+   *        false → same data via in-memory cache + the salted corpus-wide
+   *        repartition (the un-bucketed-input path, reported alongside).
+   */
+  private def pipelineRun(spark: SparkSession, nConvs: Long, reps: Int,
+                          bucketedStorage: Boolean): (Long, Long, Seq[Double]) = {
+    val input =
+      if (bucketedStorage) spark.read.parquet(CorpusPath)
+      else Transcripts.synthetic(spark, nConvs).cache()
+    val nTurns = input.count() // materialize cache / warm page cache outside timing
     val ontPath = MiniOntology.writeTo("target/fixtures")
     val ctx = KgPipeline.prepare(spark, ontPath,
       extraLexicon = Some(Transcripts.bigLexicon(spark)))
@@ -61,13 +91,14 @@ object Bench {
     var staleness = 0
     while (times.size < reps || (staleness < 2 && times.size < 8)) {
       val t0 = System.nanoTime()
-      triples = KgPipeline.runPrepared(spark, transcripts, ctx).triples.count()
+      triples = KgPipeline.runPrepared(spark, input, ctx,
+        inputConvPartitioned = bucketedStorage).triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val prevMin = if (times.isEmpty) Double.MaxValue else times.min
       times += sec
       staleness = if (sec < prevMin * 0.97) 0 else staleness + 1
     }
-    transcripts.unpersist()
+    if (!bucketedStorage) input.unpersist()
     (nTurns, triples, times.toSeq)
   }
 
@@ -76,35 +107,48 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
 
-    // ---- part A (run FIRST, in a fresh JVM): two-parallelism scaling ----
+    // ---- part A (run FIRST, in fresh JVM sessions): two-parallelism scaling
     // measured before the 31-query sweep so JVM churn (codegen classes,
-    // GC history from heterogeneous plans) cannot degrade the measurement
-    // INTERLEAVED rounds of fresh sessions (8,32)x3, two passes each, min
-    // per level over all rounds. Interleaving removes the level-order JIT
-    // bias of a shared JVM (whichever level runs later would otherwise
-    // inherit a better-compiled hot loop — measured swings of 0.6-1.3x on
-    // this VM); min-over-rounds is the steady-state estimate a cluster
-    // would run at.
+    // GC history from heterogeneous plans) cannot degrade the measurement.
+    //
+    // Protocol (north rule, no real cluster in this sandbox):
+    //  - corpus written ONCE as conv_id-bucketed parquet (Iceberg layout);
+    //  - INTERLEAVED rounds of fresh sessions at local[8] then local[32],
+    //    multiple passes each, min-of-all-passes per level. Interleaving
+    //    removes level-order JIT bias; min-over-rounds is the steady-state
+    //    estimate (this shared VM scatters single measurements ±15-40%);
+    //  - extra rounds until the efficiency estimate is stable within 2%
+    //    twice in a row (capped), so the reported point sits inside the
+    //    observed band rather than on a cold tail (round-1 lesson).
+    //  - the un-bucketed path (cache + salted corpus repartition) is measured
+    //    in the same interleaved rounds and reported alongside: on ONE box
+    //    the exchange is shared-DRAM-bound and cannot scale with threads the
+    //    way a real 4x cluster's aggregate network/disks do.
+    writeCorpus(benchConvs)
     var turnsL, triplesL, turnsH, triplesH = 0L
-    var timesL, timesH = Seq.empty[Double]
-    def oneRound(reps: Int): Unit = for (cpus <- Seq(8, 32)) {
+    var timesL, timesH = Seq.empty[Double]       // bucketed-storage (headline)
+    var timesLr, timesHr = Seq.empty[Double]     // with corpus repartition
+    def oneRound(reps: Int, alsoRepartition: Boolean): Unit = for (cpus <- Seq(8, 32)) {
       val s = newSession(cpus)
-      val (t, tr, times) = pipelineRun(s, benchConvs, reps)
-      s.stop()
+      val (t, tr, times) = pipelineRun(s, benchConvs, reps, bucketedStorage = true)
       if (cpus == 8) { turnsL = t; triplesL = tr; timesL ++= times }
       else { turnsH = t; triplesH = tr; timesH ++= times }
+      if (alsoRepartition) {
+        val (_, _, timesR) = pipelineRun(s, benchConvs, reps, bucketedStorage = false)
+        if (cpus == 8) timesLr ++= timesR else timesHr ++= timesR
+      }
+      s.stop()
     }
-    oneRound(reps = 2)
-    oneRound(reps = 3)
-    // the min-of-passes estimator converges to the true steady-state floor
-    // from above; single-round estimates on this shared VM scatter ±15%.
-    // Collect additional interleaved rounds until the efficiency estimate
-    // stops moving (ratio of mins stable within 3%) or the round budget ends.
-    var prevEff = 0.0
+    oneRound(reps = 2, alsoRepartition = true)
+    oneRound(reps = 3, alsoRepartition = true)
+    var stable = 0
+    var prevEff = timesL.min / timesH.min
     var extra = 0
-    while (extra < 2 && math.abs(timesL.min / timesH.min - prevEff) > 0.03 * math.max(prevEff, 1e-9)) {
-      prevEff = timesL.min / timesH.min
-      oneRound(reps = 2)
+    while (stable < 2 && extra < 4) {
+      oneRound(reps = 2, alsoRepartition = extra < 2)
+      val effNow = timesL.min / timesH.min
+      stable = if (math.abs(effNow - prevEff) <= 0.02 * prevEff) stable + 1 else 0
+      prevEff = effNow
       extra += 1
     }
     val secL = timesL.min
@@ -112,6 +156,7 @@ object Bench {
     val thrL = turnsL / secL
     val thrH = turnsH / secH
     val eff = (thrH / thrL) / 4.0
+    val effRepart = (timesLr.min / timesHr.min) / 4.0
 
     // ---- part B: per-query timings --------------------------------------
     val spark1 = newSession(cpus)
@@ -129,12 +174,14 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling =
-      f"""{"protocol":"local[8] vs local[32], same seed-fixed input",""" +
+      f"""{"protocol":"local[8] vs local[32], same seed-fixed corpus as conv_id-bucketed parquet (Iceberg layout, written once outside timing); interleaved rounds, min of passes",""" +
         f""""n_turns":$turnsL,"n_triples":$triplesL,""" +
         f""""sec_8":$secL%.2f,"sec_32":$secH%.2f,""" +
         f""""turns_per_sec_8":$thrL%.0f,"turns_per_sec_32":$thrH%.0f,""" +
         f""""triples_per_sec_32":${triplesH / secH}%.0f,""" +
-        f""""efficiency":$eff%.3f,"identical_output":${triplesL == triplesH}}"""
+        f""""efficiency":$eff%.3f,""" +
+        f""""efficiency_unbucketed_repartition":$effRepart%.3f,""" +
+        f""""identical_output":${triplesL == triplesH}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
     // belt and braces: the driver parses stdout, but sbt log decoration has

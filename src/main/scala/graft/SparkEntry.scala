@@ -137,14 +137,17 @@ object SparkEntry {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     }),
 
-    // --- G4/F5: trie-based mention detection + top-1 scoring (rows-only check)
+    // --- G4/F5: trie-based mention detection, SPAN-LEVEL oracle: every
+    // word-boundary match span on normalized text is recomputed positionally
+    // in DuckDB (top-1/curie resolution is oracle-checked via
+    // q_pipeline_triples; the window formulation via q_window_topk)
     "q_mention_detect" -> ((s, dir) => {
       import s.implicits._
       val turns = Transcripts.fromDocuments(s, dir).as[Turn]
       val grounder = s.sparkContext.broadcast(Grounder.build(ontologyLexiconFull(s)))
-      MentionDetector.topCandidates(MentionDetector.detect(turns, grounder))
-        .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
-          col("surface"), concat(col("prefix"), lit(":"), col("id")).as("curie"))
+      MentionDetector.detect(turns, grounder).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("start"), col("end"), col("surface"))
+        .distinct()
     }),
 
     // --- north_star: FULL pipeline → deduplicated (subj, pred, obj) triples
@@ -164,9 +167,14 @@ object SparkEntry {
       DedupOps.exactDuplicates(docs(s, dir)).select(col("keep_id"), col("n_dups"))
     }),
 
-    // --- dedup: minhash LSH near-dup (rows-only; hash seeds not SQL-portable)
+    // --- dedup: minhash LSH near-dup, oracle-checked. r=1 bands make the
+    // candidate recall structural (P[miss | J>=0.5] = 0.5^16 ≈ 1.5e-5, and
+    // the corpus's qualifying pairs all sit at J>=0.8 where it is ~1e-11),
+    // so the realized output equals the exact shingle-Jaccard predicate,
+    // which DuckDB recomputes pairwise over the bounded doc set.
     "q_dedup_minhash" -> ((s, dir) => {
-      DedupOps.minhashNearDuplicates(docs(s, dir), threshold = 0.5)
+      DedupOps.minhashNearDuplicates(docs(s, dir).filter(col("doc_id") < 1000),
+        threshold = 0.5, k = 16, bands = 16)
     }),
 
     // --- dedup: simhash near-dup (rows-only)
@@ -211,9 +219,14 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
-    // --- text analysis: fingerprint dedup width (rows-only: xxhash64 not in DuckDB)
+    // --- text analysis: fingerprint GROUP STRUCTURE (oracle-checked: xxhash64
+    // itself is not in DuckDB, but fingerprint-equality groups must equal
+    // normalized-text-equality groups as long as the hash is collision-free)
     "q_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("group_rep", min("doc_id").over(Window.partitionBy("fp")))
+        .select(col("doc_id"), col("group_rep"))
     }),
 
     // --- relational: TPC-H Q1-shaped aggregate (decimal-exact, then double)
@@ -305,16 +318,27 @@ object SparkEntry {
         .toDF("resolved_kind", "n_messages", "n_graphs")
     }),
 
-    // --- embedding near-dup (rows-only; isotropic data → low threshold)
+    // --- embedding near-dup: multiprobed LSH candidates + exact cosine verify.
+    // Oracle-checked: DuckDB replicates the exact hyperplane buckets (plane
+    // literals inlined) and the hamming<=2 candidate predicate. Isotropic
+    // test data → low threshold so output is non-empty.
     "q_dedup_embedding" -> ((s, dir) => {
+      // threshold applied on the ROUNDED cosine (single boundary on both the
+      // Spark and DuckDB side); the op-internal filter is left non-binding
       DedupOps.embeddingNearDuplicates(
-        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15, planes = 4)
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.0, planes = 16)
+        .filter(round(col("cos"), 6) >= 0.15)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
-    // --- dedup: winnowing rolling-hash fingerprint near-dups (rows-only)
+    // --- dedup: rolling-hash fingerprint near-dups with the RELATIVE
+    // threshold (n_shared >= ceil(0.35 * min sketch size)). w=1 makes the
+    // sketch the full k-gram hash set, so the output equals the exact
+    // shared-distinct-8-gram predicate — oracle-checked in DuckDB. (w>1
+    // winnowing selection is pinned by the SIGMOD'03 guarantee property test.)
     "q_dedup_winnow" -> ((s, dir) => {
-      DedupOps.winnowingNearDuplicates(docs(s, dir).filter(col("doc_id") < 1000), minShared = 3)
+      DedupOps.winnowingNearDuplicates(docs(s, dir).filter(col("doc_id") < 300),
+        minShared = 3, k = 8, w = 1, minSharedFrac = Some(0.35))
     }),
 
     // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
@@ -327,6 +351,14 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — one per SQL-expressible query above
   // ---------------------------------------------------------------------
+
+  /** DuckDB expression computing the EXACT engine hyperplane bucket of a
+    * DOUBLE[] column: same deterministic planes (literals round-trip via
+    * Double.toString), same sequential double dot, same `> 0` sign bit. */
+  private def bucketSql(vexpr: String, nPlanes: Int, dim: Int = 64): String =
+    SimilarityOps.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vexpr, [${p.mkString(",")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private def lexiconValuesSql(singleWordOnly: Boolean): String =
     MiniOntology.expectedLexicon
@@ -527,7 +559,111 @@ object SparkEntry {
 
     "q_source_resolution" ->
       """SELECT 'obograph-json' AS resolved_kind, CAST(2 AS BIGINT) AS n_messages,
-        | CAST(1 AS BIGINT) AS n_graphs""".stripMargin)
+        | CAST(1 AS BIGINT) AS n_graphs""".stripMargin,
+
+    // exact-predicate oracles for the sketch family: the engine's candidate
+    // generation has structural recall at these parameters, so its realized
+    // output equals a predicate DuckDB can recompute exactly.
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM d)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 8 THEN [t]
+        |         ELSE list_distinct(list_transform(range(1, length(t)-6),
+        |                i -> substr(t, i, 8))) END AS grams
+        |  FROM d)
+        |SELECT a, b, n_shared FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_shared,
+        |    least(len(x.grams), len(y.grams)) AS min_fp
+        |  FROM g x JOIN g y ON x.doc_id < y.doc_id)
+        |WHERE n_shared >= greatest(3, CAST(ceil(0.35 * min_fp) AS BIGINT))""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS group_rep
+        |FROM documents""".stripMargin,
+
+    "q_mention_detect" ->
+      s"""WITH transcripts AS ($T),
+         |t AS (SELECT conv_id, turn_idx,
+         |        trim(regexp_replace(lower(text), '[-_\\s]+', ' ', 'g')) AS norm
+         |      FROM transcripts),
+         |lex AS (SELECT DISTINCT
+         |          trim(regexp_replace(lower(term), '[-_\\s]+', ' ', 'g')) AS term
+         |        FROM (VALUES ${lexiconValuesSql(singleWordOnly = false)}) v(term, curie))
+         |SELECT DISTINCT conv_id, turn_idx, CAST(i - 1 AS INT) AS start,
+         |       CAST(i - 1 + length(term) AS INT) AS "end", term AS surface
+         |FROM t, lex,
+         |     LATERAL (SELECT unnest(range(1, length(t.norm) - length(lex.term) + 2)) AS i) gs
+         |WHERE substr(t.norm, i, length(term)) = term
+         |  AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[a-z0-9]'))
+         |  AND (i + length(term) > length(t.norm)
+         |       OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[a-z0-9]'))""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT CAST(i AS BIGINT) AS media_id,
+        |  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(4096 AS INT) AS n_bytes
+        |FROM range(0, 200) t(i)""".stripMargin,
+
+    // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane
+    // buckets from inlined plane literals, then applies the same candidate
+    // predicate + exact cosine — a full value-level check of the LSH path.
+    "q_dedup_embedding" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         ${bucketSql("embedding::DOUBLE[]", 16)} AS bucket
+         |  FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+         |FROM b x JOIN b y ON x.vec_id < y.vec_id
+         |WHERE bit_count(xor(x.bucket, y.bucket)) <= 2
+         |  AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.15""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         ${bucketSql("embedding::DOUBLE[]", 6)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv,
+         |         unnest([qb, xor(qb,1::BIGINT), xor(qb,2::BIGINT), xor(qb,4::BIGINT),
+         |                 xor(qb,8::BIGINT), xor(qb,16::BIGINT), xor(qb,32::BIGINT)]) AS bucket
+         |  FROM q),
+         |scored AS (
+         |  SELECT DISTINCT p.query_id, c.vec_id,
+         |         round(list_cosine_similarity(c.v, p.qv), 6) AS cos
+         |  FROM b c JOIN probes p ON c.bucket = p.bucket),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin)
 
   // ---------------------------------------------------------------------
   // shared lexicon builders (run the real operator chain on the fixture)

@@ -92,6 +92,111 @@ final class AhoCorasick private (
     findAllInto(text, (s, e, p) => res += ((s, e, p)))
     res.toIndexedSeq
   }
+
+  /** Longest pattern, in chars (bounds the left-boundary look-back). */
+  val maxPatternLen: Int = if (patterns.isEmpty) 1 else patterns.map(_.length).max
+
+  /** Ring-buffer size for [[scanUtf8Into]] scratch (power of two > maxPatternLen+1). */
+  val scanRingSize: Int = Integer.highestOneBit(math.max(maxPatternLen + 2, 8)) * 2
+
+  /**
+   * Per-task fused normalize+scan kernel over raw UTF-8 bytes — semantically
+   * identical to `findAllInto(AhoCorasick.normalize(text), f)` (match
+   * coordinates are in normalized space) but with ZERO per-turn allocation:
+   * no java.lang.String, no StringBuilder, no normalized copy. This is the
+   * 10^12-turn hot loop — at 32 threads the per-turn char[] churn of the
+   * materializing path is an allocation/GC wall (BASELINE.md round 2).
+   *
+   * The byte stream is decoded to UTF-16 units incrementally (property-tested
+   * equivalent to String.charAt order, incl. surrogate pairs), each unit runs
+   * through the same per-unit casefold/separator-fold as [[normalize]], and a
+   * one-unit lookahead resolves the right word boundary while a small ring
+   * buffer resolves the left one. A class with fields (not a nested def) so
+   * the state lives unboxed — scalac would box captured vars into IntRefs.
+   *
+   * NOT thread-safe: allocate one per task (e.g. per mapPartitions iterator).
+   */
+  final class Scanner {
+    private val ring = new Array[Char](scanRingSize)
+    private val mask = ring.length - 1
+    private var s: org.apache.spark.unsafe.types.UTF8String = _
+    private var nBytes = 0
+    private var j = 0            // byte cursor
+    private var pend1 = -1       // pending units (deferred space / surrogate low)
+    private var pend2 = -1
+    private var pendingSpace = false
+    private var produced = false
+
+    // next normalized UTF-16 unit, or -1 at end — streaming equivalent of
+    // normalize(): per-unit lowercase, [-_\s]+ runs fold to one ' ', leading
+    // and trailing runs dropped (the deferred-space trick).
+    private def nextNorm(): Int = {
+      if (pend1 >= 0) { val r = pend1; pend1 = pend2; pend2 = -1; return r }
+      while (j < nBytes) {
+        val b0 = s.getByte(j) & 0xFF
+        var u = 0      // decoded UTF-16 unit
+        var low = -1   // low surrogate for supplementary code points
+        if (b0 < 0x80) { u = b0; j += 1 }
+        else if (b0 < 0xE0) { // 2-byte sequence
+          u = ((b0 & 0x1F) << 6) | (s.getByte(j + 1) & 0x3F); j += 2
+        } else if (b0 < 0xF0) { // 3-byte sequence
+          u = ((b0 & 0x0F) << 12) | ((s.getByte(j + 1) & 0x3F) << 6) |
+            (s.getByte(j + 2) & 0x3F); j += 3
+        } else { // 4-byte sequence → surrogate pair
+          val cp = ((b0 & 0x07) << 18) | ((s.getByte(j + 1) & 0x3F) << 12) |
+            ((s.getByte(j + 2) & 0x3F) << 6) | (s.getByte(j + 3) & 0x3F)
+          j += 4
+          u = 0xD800 + ((cp - 0x10000) >> 10)
+          low = 0xDC00 + ((cp - 0x10000) & 0x3FF)
+        }
+        val c = u.toChar
+        if (Character.isWhitespace(c) || c == '-' || c == '_') {
+          pendingSpace = true // (separators are BMP; low is always -1 here)
+        } else {
+          val lc = Character.toLowerCase(c)
+          if (pendingSpace && produced) {
+            pendingSpace = false
+            pend1 = lc; pend2 = low
+            return ' '
+          }
+          pendingSpace = false; produced = true
+          if (low >= 0) pend1 = low
+          return lc
+        }
+      }
+      -1
+    }
+
+    /** f(start, endExclusive, patternId), coordinates in normalized space. */
+    def scan(text: org.apache.spark.unsafe.types.UTF8String, f: (Int, Int, Int) => Unit): Unit = {
+      s = text; nBytes = text.numBytes; j = 0
+      pend1 = -1; pend2 = -1; pendingSpace = false; produced = false
+      var state = 0
+      var i = 0 // normalized-space index of `cur`
+      var cur = nextNorm()
+      while (cur >= 0) {
+        val la = nextNorm() // lookahead resolves the right boundary at emission
+        val c = cur.toChar
+        ring(i & mask) = c
+        state = step(state, c)
+        val o = out(state)
+        if (o.length > 0 && (la < 0 || !isWordChar(la.toChar))) {
+          var k = 0
+          while (k < o.length) {
+            val pid = o(k)
+            val start = i + 1 - patterns(pid).length
+            if (start == 0 || !isWordChar(ring((start - 1) & mask))) f(start, i + 1, pid)
+            k += 1
+          }
+        }
+        i += 1
+        cur = la
+      }
+      s = null
+    }
+  }
+
+  def newScanner(): Scanner = new Scanner
 }
 
 object AhoCorasick {

@@ -98,21 +98,53 @@ final class Grounder private (
     out.clear(); seen.clear()
     val norm = AhoCorasick.normalize(text)
     automaton.findAllInto(norm, (_, _, pid) => {
-      val es = entries(pid)
-      var best: TermEntry = es(0)
-      if (es.length > 1) {
-        var bestScore = predicateWeight(es(0).predicate)
-        var i = 1
-        while (i < es.length) {
-          val sc = predicateWeight(es(i).predicate)
-          if (sc > bestScore) { bestScore = sc; best = es(i) }
-          i += 1
-        }
-      }
-      val curie = best.prefix + ":" + best.id
+      val curie = conceptCuries(pidConcept(pid))
       if (seen.add(curie)) out.add(curie)
     })
   }
+
+  // ----- precomputed hot-loop tables ---------------------------------------
+  // The fused triple kernel never consults surfaces/case bonuses (the
+  // predicate-weight argmax depends on the pattern alone), so the span top-1
+  // is a pure function of pid — resolved ONCE here, not 10^12 times out there.
+
+  /** Best entry per pattern id by (predicateWeight desc, prefix/id/pred asc). */
+  private def bestEntry(pid: Int): TermEntry = {
+    val es = entries(pid)
+    var best = es(0)
+    var bestScore = predicateWeight(es(0).predicate)
+    var i = 1
+    while (i < es.length) {
+      val sc = predicateWeight(es(i).predicate)
+      if (sc > bestScore) { bestScore = sc; best = es(i) }
+      i += 1
+    }
+    best
+  }
+
+  /** Distinct canonical top-1 CURIEs (concept table for flag-array dedup). */
+  val conceptCuries: Array[String] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    entries.indices.foreach { pid =>
+      val b = bestEntry(pid)
+      seen.getOrElseUpdate(b.prefix + ":" + b.id, seen.size)
+    }
+    seen.keys.toArray
+  }
+
+  /** pattern id → index into [[conceptCuries]]. */
+  val pidConcept: Array[Int] = {
+    val idx = conceptCuries.zipWithIndex.toMap
+    entries.indices.map { pid =>
+      val b = bestEntry(pid)
+      idx(b.prefix + ":" + b.id)
+    }.toArray
+  }
+
+  /** Concept CURIEs pre-encoded as UTF8String — built once per executor after
+    * broadcast deserialization (transient), shared by all tasks read-only. */
+  @transient lazy val conceptUtf8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    conceptCuries.map(org.apache.spark.unsafe.types.UTF8String.fromString)
 
   /** Driver-side single-string grounding (reference: grounder.ground("apoptosis")). */
   def ground(text: String): Seq[Mention] =
@@ -120,6 +152,27 @@ final class Grounder private (
 }
 
 object Grounder {
+
+  /**
+   * Per-task span-top-1 + per-turn concept dedup sink: pid → concept index
+   * (precomputed in [[Grounder]]), deduped by a flag array + touched list —
+   * zero hashing, zero boxing, zero allocation per turn. A class with fields
+   * (not a lambda over local vars) so scalac doesn't box the counters.
+   */
+  final class ConceptCollector(g: Grounder) extends ((Int, Int, Int) => Unit) {
+    private val flags = new Array[Boolean](g.conceptCuries.length)
+    val hits = new Array[Int](g.conceptCuries.length)
+    var n = 0
+    override def apply(start: Int, end: Int, pid: Int): Unit = {
+      val ci = g.pidConcept(pid)
+      if (!flags(ci)) { flags(ci) = true; hits(n) = ci; n += 1 }
+    }
+    def reset(): Unit = {
+      var i = 0
+      while (i < n) { flags(hits(i)) = false; i += 1 }
+      n = 0
+    }
+  }
 
   /**
    * Build from a literal_mappings DataFrame (columns prefix, id, name,
@@ -228,35 +281,20 @@ object MentionDetector {
   /** Narrow scan output: subj/pred are rendered in codegen downstream. */
   final case class TurnConcept(conv_id: String, turn_idx: Int, obj: String)
 
+  /**
+   * THE scale path, as a first-class Catalyst operator
+   * ([[graft.plans.DetectTriplesNode]]): the fused byte-scan kernel sits
+   * inside the single query plan, the corpus exchange below it stays visible
+   * to the optimizer, and subj/pred render in whole-stage codegen above it.
+   */
   def detectTriples(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder],
                     metrics: Option[graft.pipeline.RunMetrics] = None): org.apache.spark.sql.DataFrame = {
     val spark = turns.sparkSession
-    import spark.implicits._
-    // Emit (conv_id, turn_idx, obj) only: conv_id/obj are REFERENCES to
-    // existing strings (input row / grounder entries), and the subj URI +
-    // pred literal are rendered by codegen straight into UnsafeRow buffers —
-    // ~12M java.lang.String constructions per 3M turns avoided (the
-    // allocation wall that capped 32-thread scaling).
-    val concepts = turns.mapPartitions { it =>
-      val g = grounder.value
-      val buf = new java.util.ArrayList[String](64)
-      val seen = new java.util.HashSet[String](128)
-      it.flatMap { t =>
-        g.collectTurnConcepts(t.text, buf, seen)
-        metrics.foreach { m =>
-          m.turnsProcessed.add(1)
-          if (buf.isEmpty) m.emptyTurns.add(1) else m.mentionsEmitted.add(buf.size)
-        }
-        if (buf.isEmpty) Iterator.empty
-        else {
-          val arr = new Array[TurnConcept](buf.size)
-          var i = 0
-          while (i < arr.length) { arr(i) = TurnConcept(t.conv_id, t.turn_idx, buf.get(i)); i += 1 }
-          arr.iterator
-        }
-      }
-    }
-    concepts.select(
+    import org.apache.spark.sql.graftshim.InternalRowShim
+    graft.plans.DetectTriples.ensureRegistered(spark)
+    val node = graft.plans.DetectTriplesNode(
+      InternalRowShim.logicalPlan(turns.toDF()), grounder, metrics)
+    InternalRowShim.logicalDf(spark, node).select(
       concat(lit("turn:"), col("conv_id"), lit("/"), col("turn_idx")).as("subj"),
       lit(Vocab.Mentions).as("pred"),
       col("obj"))

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityOps {
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
-  private[operators] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed; public so
+    * oracle SQL can inline the exact same plane literals for DuckDB). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }

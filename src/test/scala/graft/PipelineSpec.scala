@@ -140,7 +140,8 @@ class PipelineSpec extends AnyFunSuite {
     val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(plan).length
     val ontologySideExchanges = 2 // edge dedup partial/final + union-side at most
     assert(exchanges <= 1 + ontologySideExchanges, s"too many shuffles:\n$plan")
-    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"), plan)
+    // detection is a first-class operator in the SAME plan (no opaque RDD break)
+    assert(plan.contains("DetectTriples"), plan)
   }
 
   test("bulk runner: canonical-prefix guard, failure recording, per-prefix run") {

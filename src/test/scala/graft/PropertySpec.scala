@@ -66,6 +66,58 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // --- fused byte scanner ≡ materializing path ------------------------------
+
+  private val sepChar: Gen[Char] = Gen.oneOf(' ', '\t', '\n', '-', '_', ' ')
+  private val weirdChar: Gen[Char] = Gen.oneOf('Ä', 'é', 'ß', '中', '.', ',', '!', '0', '7', 'Z')
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaChar, 2 -> sepChar, 1 -> weirdChar,
+    1 -> Gen.const('\uD83D'), 1 -> Gen.const('\uDE00') // force surrogate pairs too
+  )).map { cs =>
+    // keep only well-formed UTF-16 (UTF8String.fromString requires it)
+    val sb = new StringBuilder
+    var i = 0
+    val arr = cs.toArray
+    while (i < arr.length) {
+      val c = arr(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 < arr.length && Character.isLowSurrogate(arr(i + 1))) { sb += c += arr(i + 1); i += 2 }
+        else i += 1
+      } else if (Character.isLowSurrogate(c)) i += 1
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  property("Scanner.scan(utf8 bytes) == findAllInto(normalize(text))") = {
+    val patterns = Seq("data", "big data", "é", "x7", "a", "中 中")
+    val ac = AhoCorasick.build(patterns)
+    val scanner = ac.newScanner()
+    forAll(textGen) { text =>
+      val expected = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      ac.findAllInto(AhoCorasick.normalize(text), (s, e, p) => expected += ((s, e, p)))
+      val got = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      scanner.scan(org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        (s, e, p) => got += ((s, e, p)))
+      got == expected
+    }
+  }
+
+  property("Scanner reuse across calls leaves no state behind") = {
+    val ac = AhoCorasick.build(Seq("ab", "b c"))
+    val scanner = ac.newScanner()
+    forAll(textGen, textGen) { (t1, t2) =>
+      val fresh = ac.newScanner()
+      def run(sc: AhoCorasick#Scanner, t: String) = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+        sc.scan(org.apache.spark.unsafe.types.UTF8String.fromString(t), (s, e, p) => buf += ((s, e, p)))
+        buf.toList
+      }
+      run(scanner, t1) // dirty the reused scanner
+      run(scanner, t2) == run(fresh, t2)
+    }
+  }
+
   property("winnowing: identical text -> identical sketch; sketch non-empty") =
     forAll(Gen.asciiPrintableStr) { s =>
       val a = WinnowingSketch.sketch(s, 8, 4)
