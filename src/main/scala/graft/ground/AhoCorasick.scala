@@ -18,31 +18,33 @@ import scala.collection.mutable
  *    scoring/top-1 window downstream resolves them.
  *
  * Construction is the textbook BFS failure-link build; lookup is O(|text| +
- * #matches). The automaton is immutable after `build` and Serializable
- * (array-backed, no closures) so broadcasting is cheap.
+ * #matches). The compiled automaton is CSR-FLAT: one chars array + one
+ * targets array indexed by per-node offsets (`base`), outputs likewise —
+ * zero per-node objects. A Bioregistry-scale automaton (10^5-10^6 patterns)
+ * compacts to tens of MB, so at 32 scan threads the hot states live in the
+ * shared LLC instead of a million pointer-chased heap arrays in DRAM — this
+ * is what the 10^12-turn scan is bound by (BASELINE.md). Immutable after
+ * `build` and Serializable (primitive arrays only) so broadcasting is cheap.
  */
 final class AhoCorasick private (
-    // compiled automaton: per node a SORTED char array + parallel target
-    // array (binary search per step — no boxing, cache-friendly), plus a
-    // direct-indexed table for the root's ASCII transitions (the root is by
-    // far the most-visited state on natural text).
-    nodeChars: Array[Array[Char]],
-    nodeTargets: Array[Array[Int]],
-    rootAscii: Array[Int], // 128 entries, -1 = no transition
+    base: Array[Int],          // node → offset into transChars/transTargets (len nNodes+1)
+    transChars: Array[Char],   // per node: SORTED transition chars
+    transTargets: Array[Int],  // parallel targets
+    rootAscii: Array[Int],     // direct table for the root's ASCII transitions (-1 = none)
     fail: Array[Int],
-    // per node: ids of patterns ending here (via output links already merged)
-    out: Array[Array[Int]],
+    outOff: Array[Int],        // node → offset into outPids (len nNodes+1)
+    outPids: Array[Int],       // pattern ids ending at the node (output links merged)
+    patLen: Array[Int],        // pattern lengths (avoids String deref in the hot loop)
     val patterns: Array[String]) extends Serializable {
 
   @inline private def lookup(s: Int, c: Char): Int = {
     if (s == 0 && c < 128) return rootAscii(c)
-    val chars = nodeChars(s)
-    var lo = 0
-    var hi = chars.length - 1
+    var lo = base(s)
+    var hi = base(s + 1) - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val mc = chars(mid)
-      if (mc == c) return nodeTargets(s)(mid)
+      val mc = transChars(mid)
+      if (mc == c) return transTargets(mid)
       else if (mc < c) lo = mid + 1
       else hi = mid - 1
     }
@@ -69,17 +71,17 @@ final class AhoCorasick private (
     val n = text.length
     while (i < n) {
       state = step(state, text.charAt(i))
-      val o = out(state)
-      if (o.length > 0) {
-        var j = 0
-        while (j < o.length) {
-          val pid = o(j)
-          val plen = patterns(pid).length
-          val start = i + 1 - plen
-          val boundaryLeft = start == 0 || !isWordChar(text.charAt(start - 1))
-          val boundaryRight = i + 1 == n || !isWordChar(text.charAt(i + 1))
-          if (boundaryLeft && boundaryRight) f(start, i + 1, pid)
-          j += 1
+      var j = outOff(state)
+      val jEnd = outOff(state + 1)
+      if (j < jEnd) {
+        val boundaryRight = i + 1 == n || !isWordChar(text.charAt(i + 1))
+        if (boundaryRight) {
+          while (j < jEnd) {
+            val pid = outPids(j)
+            val start = i + 1 - patLen(pid)
+            if (start == 0 || !isWordChar(text.charAt(start - 1))) f(start, i + 1, pid)
+            j += 1
+          }
         }
       }
       i += 1
@@ -96,7 +98,7 @@ final class AhoCorasick private (
   /** Longest pattern, in chars (bounds the left-boundary look-back). */
   val maxPatternLen: Int = if (patterns.isEmpty) 1 else patterns.map(_.length).max
 
-  /** Ring-buffer size for [[scanUtf8Into]] scratch (power of two > maxPatternLen+1). */
+  /** Ring-buffer size for [[Scanner]] scratch (power of two > maxPatternLen+1). */
   val scanRingSize: Int = Integer.highestOneBit(math.max(maxPatternLen + 2, 8)) * 2
 
   /**
@@ -179,12 +181,12 @@ final class AhoCorasick private (
         val c = cur.toChar
         ring(i & mask) = c
         state = step(state, c)
-        val o = out(state)
-        if (o.length > 0 && (la < 0 || !isWordChar(la.toChar))) {
-          var k = 0
-          while (k < o.length) {
-            val pid = o(k)
-            val start = i + 1 - patterns(pid).length
+        var k = outOff(state)
+        val kEnd = outOff(state + 1)
+        if (k < kEnd && (la < 0 || !isWordChar(la.toChar))) {
+          while (k < kEnd) {
+            val pid = outPids(k)
+            val start = i + 1 - patLen(pid)
             if (start == 0 || !isWordChar(ring((start - 1) & mask))) f(start, i + 1, pid)
             k += 1
           }
@@ -272,32 +274,52 @@ object AhoCorasick {
       }
     }
 
-    // compile the HashMap trie (build-friendly) into flat sorted arrays
-    // (scan-friendly): boxing-free binary-search transitions + a direct
-    // root table. Build keeps Character/Integer deliberately —
+    // compile the HashMap trie (build-friendly) into CSR-FLAT arrays
+    // (scan-friendly): one chars array + one targets array with per-node
+    // offsets — zero per-node objects, boxing-free binary-search transitions,
+    // plus a direct root table. Build keeps Character/Integer deliberately —
     // java.util.Map[Char, Int] in Scala silently unboxes missing-key null
     // to 0, which corrupts the trie.
     val nNodes = gotoMaps.length
-    val nodeChars = new Array[Array[Char]](nNodes)
-    val nodeTargets = new Array[Array[Int]](nNodes)
+    val base = new Array[Int](nNodes + 1)
     var s = 0
+    while (s < nNodes) { base(s + 1) = base(s) + gotoMaps(s).size; s += 1 }
+    val transChars = new Array[Char](base(nNodes))
+    val transTargets = new Array[Int](base(nNodes))
+    s = 0
     while (s < nNodes) {
       val entries = new mutable.ArrayBuffer[(Char, Int)](gotoMaps(s).size)
       gotoMaps(s).forEach((c: Character, t: Integer) => entries += ((c.charValue(), t.intValue())))
       val sorted = entries.sortBy(_._1)
-      nodeChars(s) = sorted.map(_._1).toArray
-      nodeTargets(s) = sorted.map(_._2).toArray
+      var k = 0
+      while (k < sorted.length) {
+        transChars(base(s) + k) = sorted(k)._1
+        transTargets(base(s) + k) = sorted(k)._2
+        k += 1
+      }
       s += 1
     }
     val rootAscii = Array.fill(128)(-1)
-    var i = 0
-    while (i < nodeChars(0).length) {
-      val c = nodeChars(0)(i)
-      if (c < 128) rootAscii(c) = nodeTargets(0)(i)
+    var i = base(0)
+    while (i < base(1)) {
+      val c = transChars(i)
+      if (c < 128) rootAscii(c) = transTargets(i)
       i += 1
     }
+    val outOff = new Array[Int](nNodes + 1)
+    s = 0
+    while (s < nNodes) { outOff(s + 1) = outOff(s) + outSets(s).length; s += 1 }
+    val outPids = new Array[Int](outOff(nNodes))
+    s = 0
+    while (s < nNodes) {
+      var k = 0
+      val set = outSets(s)
+      while (k < set.length) { outPids(outOff(s) + k) = set(k); k += 1 }
+      s += 1
+    }
+    val patLen = patterns.map(_.length)
 
-    new AhoCorasick(nodeChars, nodeTargets, rootAscii, fail,
-      outSets.map(_.toArray).toArray, patterns)
+    new AhoCorasick(base, transChars, transTargets, rootAscii, fail,
+      outOff, outPids, patLen, patterns)
   }
 }

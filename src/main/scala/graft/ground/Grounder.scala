@@ -176,38 +176,49 @@ object Grounder {
 
   /**
    * Build from a literal_mappings DataFrame (columns prefix, id, name,
-   * predicate, text). The groupBy on normalized text happens in Spark (so a
-   * huge lexicon still aggregates distributed), then ontology-sized results
-   * collect to the driver for automaton construction.
+   * predicate, text). The groupBy on NORMALIZED text happens in Spark — the
+   * normalize UDF runs distributed (ontology side, never the corpus hot
+   * path) and the driver collects one row per DISTINCT normalized pattern,
+   * not one per raw lexicon row: a huge lexicon aggregates before it ever
+   * touches the driver (round-1 collected raw rows and grouped driver-side).
    */
   def build(literalMappings: DataFrame,
             canonical: Map[String, String] = Map.empty): Grounder = {
-    val rows = literalMappings
+    val normUdf = udf((s: String) => AhoCorasick.normalize(s))
+    val grouped = literalMappings
       .select(col("prefix"), col("id"), coalesce(col("name"), col("text")).as("name"),
         col("predicate"), col("text"))
+      .withColumn("norm", normUdf(col("text")))
+      .filter(col("norm") =!= "")
+      .groupBy(col("norm"))
+      .agg(collect_list(struct(col("prefix"), col("id"), col("name"),
+        col("predicate"), col("text"))).as("es"))
       .collect()
 
-    val byNorm = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[(TermEntry, String)]]()
-    rows.foreach { r =>
-      val text = r.getString(4)
-      val norm = AhoCorasick.normalize(text)
-      if (norm.nonEmpty) {
+    // deterministic order regardless of partitioning: patterns sorted, and
+    // per-pattern entries sorted by (prefix, id, predicate, text)
+    val sorted = grouped.map { r =>
+      val norm = r.getString(0)
+      val es = r.getSeq[org.apache.spark.sql.Row](1).map { e =>
+        (TermEntry(e.getString(0), e.getString(1), e.getString(2), e.getString(3)), e.getString(4))
+      }.sortBy { case (t, text) => (t.prefix, t.id, t.predicate, text) }
+      norm -> es
+    }.sortBy(_._1)
+
+    val patterns = sorted.map(_._1)
+    val entries = sorted.map { case (_, es) =>
+      es.map { case (t, _) =>
         // fold the xref entity-merge INTO the index: entries are born
         // canonical, so downstream triples need no remap pass at all
-        var prefix = r.getString(0)
-        var id = r.getString(1)
-        canonical.get(s"$prefix:$id").foreach { canon =>
-          val i = canon.indexOf(':')
-          if (i > 0) { prefix = canon.substring(0, i); id = canon.substring(i + 1) }
+        canonical.get(s"${t.prefix}:${t.id}") match {
+          case Some(canon) if canon.indexOf(':') > 0 =>
+            val i = canon.indexOf(':')
+            t.copy(prefix = canon.substring(0, i), id = canon.substring(i + 1))
+          case _ => t
         }
-        byNorm.getOrElseUpdate(norm, new scala.collection.mutable.ArrayBuffer)
-          .append((TermEntry(prefix, id, r.getString(2), r.getString(3)), text))
-      }
+      }.distinct.sortBy(e => (e.prefix, e.id, e.predicate)).toArray
     }
-    val patterns = byNorm.keys.toArray
-    val entries = patterns.map(p => byNorm(p).map(_._1).distinct
-      .sortBy(e => (e.prefix, e.id, e.predicate)).toArray)
-    val surfaces = patterns.map(p => byNorm(p).head._2)
+    val surfaces = sorted.map(_._2.head._2)
     new Grounder(AhoCorasick.build(patterns.toIndexedSeq), entries, surfaces)
   }
 }

@@ -18,10 +18,12 @@ object Closure {
 
   /**
    * T2 descendant closure, networkx `nx.ancestors` semantics on a
-   * child→parent digraph (ner.py:141-143): all nodes with a directed path TO
-   * a seed = the seed's descendants, EXCLUDING the seeds themselves (the
-   * reference's subtle edge case — the seed's own literal mappings are NOT in
-   * the subset; SURVEY §2.7 T2).
+   * child→parent digraph — the UNION of per-seed `nx.ancestors(G, seed)`
+   * exactly as ner.py:141-143 computes it: all nodes with a directed path TO
+   * any seed. A seed never appears merely for being a seed (ancestors(s)
+   * excludes s), but a seed NESTED UNDER ANOTHER SEED is a genuine member of
+   * the union and IS included — anti-joining all seeds out (round-1 behavior)
+   * silently dropped those nested terms' literal mappings from the subset.
    *
    * @param childParent edges with columns (subj, obj) = (child, parent)
    * @param seeds       one column `curie` of seed (ancestor) CURIEs
@@ -32,7 +34,9 @@ object Closure {
     val edges = childParent.select(col("subj").as("child"), col("obj").as("parent"))
       .localCheckpoint(true)
 
-    // frontier = nodes whose descendants we still need to pull in
+    // frontier = nodes whose descendants we still need to pull in; `acc`
+    // collects ONLY nodes reached via ≥1 edge step (so a seed enters the
+    // result exactly when some other seed reaches it)
     var frontier = seeds.select(col("curie")).distinct().localCheckpoint(true)
     var acc = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -45,7 +49,6 @@ object Closure {
         .select(col("child").as("curie")).distinct()
         // only genuinely new nodes continue (cycle-safe, termination guaranteed)
         .join(acc, Seq("curie"), "left_anti")
-        .join(seeds.select("curie"), Seq("curie"), "left_anti") // seeds excluded from result set
         .localCheckpoint(true)
       acc = acc.unionByName(next).localCheckpoint(true)
       frontier = next

@@ -126,30 +126,42 @@ object DedupOps {
     * observed metrics below. */
   val MaxBucket = 10000
 
-  private val guardSeq = new java.util.concurrent.atomic.AtomicInteger()
+  // Guard diagnostics as session-level named accumulators: plan-side observe()
+  // nodes get eliminated when AQE propagates an empty relation (exactly the
+  // degenerate-signature case the diagnostic exists for), while accumulators
+  // are updated when the aggregate stage RUNS, regardless of what the final
+  // plan looks like. Cumulative per session (A3 diagnostics semantics).
+  private val guardAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]()
 
-  /** Read back the bucket-guard metrics of an EXECUTED dedup DataFrame:
-    * name → (dropped_buckets, dropped_members). Zero everywhere = no bucket
-    * hit the guard. */
-  def bucketGuardMetrics(df: DataFrame): Map[String, (Long, Long)] =
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.observedMetrics.collect {
-        case (name, row) if name.startsWith("bucket_guard") =>
-          name -> (row.getAs[Long]("dropped_buckets"), row.getAs[Long]("dropped_members"))
-      }
+  private def guardAccumulators(df: DataFrame) =
+    guardAccs.computeIfAbsent(df.sparkSession.sparkContext, sc =>
+      (sc.longAccumulator("graft.bucket_guard.dropped_buckets"),
+        sc.longAccumulator("graft.bucket_guard.dropped_members")))
+
+  /** Cumulative (dropped_buckets, dropped_members) this session — non-zero
+    * means some sketch produced a mega-bucket and its pairs were suppressed. */
+  def bucketGuardCounts(spark: org.apache.spark.sql.SparkSession): (Long, Long) =
+    Option(guardAccs.get(spark.sparkContext))
+      .map { case (b, m) => (b.value.longValue(), m.value.longValue()) }
+      .getOrElse((0L, 0L))
 
   /** Bucket membership lists + the guard, instrumented: dropped bucket/member
-    * counts surface as observed metrics (A3 diagnostics — a silent cap would
-    * read as "no duplicates here" exactly when the signature is broken). */
-  private def guardedBuckets(banded: DataFrame, bucketCols: Seq[String]): DataFrame =
+    * counts surface via [[bucketGuardCounts]] (a silent cap would read as "no
+    * duplicates here" exactly when the signature is broken). The guard filter
+    * is a tiny UDF over post-aggregation rows (bucket counts, not corpus). */
+  private def guardedBuckets(banded: DataFrame, bucketCols: Seq[String]): DataFrame = {
+    val (droppedBuckets, droppedMembers) = guardAccumulators(banded)
+    val guard = udf { n: Int =>
+      if (n > MaxBucket) { droppedBuckets.add(1L); droppedMembers.add(n.toLong); false }
+      else n >= 2
+    }
     banded
       .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .observe(s"bucket_guard_${guardSeq.incrementAndGet()}",
-        sum(when(size(col("ids")) > MaxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-        sum(when(size(col("ids")) > MaxBucket, size(col("ids")).cast("long")).otherwise(0L))
-          .as("dropped_members"))
-      .filter(size(col("ids")).between(2, MaxBucket))
+      .filter(guard(size(col("ids"))))
+  }
 
   /**
    * (bucket → member ids) → distinct candidate pairs (a < b), via ONE
@@ -214,16 +226,27 @@ object DedupOps {
     SimHash64.simhash64(split(normText(text), " "))
 
   /**
-   * SimHash near-dup candidates within Hamming distance ≤ 3 via the standard
-   * 4-block trick (Manku et al., WWW'07: any pair at distance ≤ 3 agrees on
-   * at least one of 4 16-bit blocks) → block-bucket self-join + exact
-   * popcount verify. Shuffles only (doc_id, 16-bit block) pairs.
+   * SimHash near-dup candidates within Hamming distance ≤ maxHamming via the
+   * block trick (Manku et al., WWW'07 pigeonhole): the 64-bit signature is
+   * split into `maxHamming + 1` near-equal blocks, so any pair at distance
+   * ≤ maxHamming agrees EXACTLY on at least one block — candidate recall is
+   * structural, not probabilistic, for every value of the tunable (round-1
+   * shipped fixed 4 blocks, which only guarantees distance ≤ 3 while the
+   * query asked for 8). Block-bucket pairing + exact popcount verify;
+   * shuffles only (doc_id, block) pairs.
    */
   def simhashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val blocks = maxHamming + 1
     val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val blockCols = (0 until blocks).map { b =>
+      val lo = b * 64 / blocks
+      val width = (b + 1) * 64 / blocks - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask))
+    }
     val blocked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
     val cand = bucketPairs(blocked, "block_idx", "block_val")
     val sigById = sigs // signatures re-joined once, per candidate (tiny)

@@ -84,6 +84,44 @@ object GraphStandardizer {
       .select(element_at(col("ids"), 1).as("a"), explode(slice(col("ids"), 2, 10000)).as("b"))
   }
 
+  /**
+   * `strict` mode (ner.py:32 `from_obograph_raw(..., strict=strict)` parity):
+   * instead of the lenient null-and-skip, surface every raw value that fails
+   * standardization as a typed errors Dataset — (kind, raw) rows with kind ∈
+   * {node_id, edge_subj, edge_pred, edge_obj} — and a driver assertion that
+   * fails the run when any exist. Foreign-prefix node drops are NOT errors
+   * (they are gatekeeping, ner.py:86-90), only unparseable values are.
+   */
+  def standardizationErrors(graphs: DataFrame, converter: Converter): DataFrame = {
+    val nodeErrs = graphs
+      .select(explode(col("nodes")).as("node"))
+      .select(col("node.id").as("raw"), compress_iri(col("node.id"), converter).as("std"))
+      .filter(col("std").isNull && col("raw").isNotNull)
+      .select(lit("node_id").as("kind"), col("raw"))
+    val edges = graphs.select(explode(col("edges")).as("edge"))
+    def edgeErr(kind: String, raw: Column, std: Column): DataFrame = edges
+      .select(raw.as("raw"), std.as("std"))
+      .filter(col("std").isNull && col("raw").isNotNull)
+      .select(lit(kind).as("kind"), col("raw"))
+    nodeErrs
+      .unionByName(edgeErr("edge_subj", col("edge.sub"), standardize_id(col("edge.sub"), converter)))
+      .unionByName(edgeErr("edge_pred", col("edge.pred"), normalize_predicate(col("edge.pred"), converter)))
+      .unionByName(edgeErr("edge_obj", col("edge.obj"), standardize_id(col("edge.obj"), converter)))
+      .distinct()
+  }
+
+  /** Driver assertion for strict mode: throws with a sample of offending raw
+    * values when the document is not fully standardizable. */
+  def assertStandardizable(graphs: DataFrame, converter: Converter, sample: Int = 10): Unit = {
+    val errs = standardizationErrors(graphs, converter).limit(sample + 1).collect()
+    if (errs.nonEmpty) {
+      val shown = errs.take(sample).map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(", ")
+      val more = if (errs.length > sample) ", ..." else ""
+      throw new IllegalStateException(
+        s"strict standardization failed (ner.py:32 strict=True semantics): $shown$more")
+    }
+  }
+
   /** P7: the subClassOf DAG (T1) — child → parent edges. */
   def subClassOfEdges(stdEdges: DataFrame): DataFrame =
     stdEdges.filter(col("pred") === graft.model.Vocab.SubClassOf).select("subj", "obj")

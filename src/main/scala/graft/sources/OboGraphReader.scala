@@ -86,15 +86,18 @@ object OboGraphReader {
         col("g.edges").as("edges"),
         col("g.equivalentNodesSets").as("equivalentNodesSets"))
 
-    // P4 repair: sole graph without id ← source IRI; several graphs without
-    // ids → unrepairable (robot.py:346-349) — driver-side assertion, the only
-    // hard failure in ingest.
+    // P4 repair: sole graph without id ← source IRI; a sole id-less graph
+    // with NO source IRI, or several graphs with missing ids, is unrepairable
+    // (robot.py:345-349) — hard errors, not silent null ids that would poison
+    // downstream provenance.
     val missing = graphs.filter(col("graph_id").isNull)
     val nMissing = missing.limit(2).count()
     if (nMissing > 0) {
       val multi = graphs.limit(2).count() > 1
       if (multi) throw new IllegalArgumentException(
         "unrepairable OBO graph document: multiple graphs with missing ids (robot.py:346-349 semantics)")
+      if (sourceIri.isEmpty) throw new IllegalArgumentException(
+        "only graph is missing id and no source IRI to repair it (robot.py:345 semantics)")
     }
     graphs.withColumn("graph_id",
       coalesce(col("graph_id"), lit(sourceIri.orNull).cast(StringType)))
@@ -125,11 +128,24 @@ object OboGraphReader {
       .coalesce(1)
       .write.mode("overwrite").option("ignoreNullFields", "true").json(path)
 
+  /** Canonical OBO PURL of a prefix — the pattern obographs'
+    * guess_primary_graph matches graph ids against (robot.py:71-75). */
+  def canonicalIri(prefix: String): String =
+    s"http://purl.obolibrary.org/obo/${prefix.toLowerCase}.owl"
+
   def squeezeGraph(graphs: DataFrame, prefix: Option[String] = None): DataFrame = {
-    val preferred = prefix.map { p =>
+    // P2 primary-graph guess, in obographs' order: (1) the graph whose id IS
+    // the prefix's canonical PURL; (2) a sole graph trivially wins; (3) legacy
+    // lenient fallback — substring match, then first. A bare substring match
+    // alone picks an import graph whose id merely CONTAINS the prefix
+    // (round-1 verdict P2 divergence).
+    val canonical = prefix.map { p =>
+      graphs.filter(lower(col("graph_id")) === canonicalIri(p))
+    }.filter(_.limit(1).count() > 0)
+    val substringFallback = prefix.map { p =>
       graphs.filter(lower(col("graph_id")).contains(p.toLowerCase))
     }.filter(_.limit(1).count() > 0)
-    val chosen = preferred.getOrElse(graphs).limit(1)
+    val chosen = canonical.orElse(substringFallback).getOrElse(graphs).limit(1)
     if (chosen.limit(1).count() == 0)
       throw new IllegalStateException("squeeze on absent graph document (robot.py:64-65 semantics)")
     chosen

@@ -42,8 +42,9 @@ object ScalingProbe {
       val spark = newSession(cpus)
       val transcripts = Transcripts.synthetic(spark, nConvs).cache()
       val nTurns = transcripts.count()
+      val pairTerms = sys.env.getOrElse("PROBE_PAIR_TERMS", "50000").toInt
       val ctx = KgPipeline.prepare(spark, MiniOntology.writeTo("target/fixtures"),
-        extraLexicon = Some(Transcripts.bigLexicon(spark)))
+        extraLexicon = Some(Transcripts.bigLexicon(spark, pairTerms = pairTerms)))
 
       def bench(label: String)(f: => Any): Unit = {
         var best = Double.MaxValue

@@ -113,6 +113,96 @@ class OperatorSpec extends AnyFunSuite {
 
   // ---------------- plan quality (the 100 TB story) ----------------
 
+  test("simhash: engine pairs == brute-force hamming<=maxH pairs (pigeonhole recall, maxH=8)") {
+    val rng = new scala.util.Random(7)
+    val words = (0 until 40).map(i => s"tok$i")
+    // near-dup clusters: base docs + mutated copies (few token swaps → small hamming)
+    val docs = (0 until 30).flatMap { i =>
+      val base = Seq.fill(30)(words(rng.nextInt(words.size)))
+      val mutated = base.zipWithIndex.map { case (w, j) => if (j % 9 == 0) words(rng.nextInt(words.size)) else w }
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, mutated.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = DedupOps.simhashNearDuplicates(df, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over collected signatures
+    val sigs = df.select(col("doc_id"), DedupOps.simhash(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture must contain close pairs")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("bucket guard drops mega-buckets LOUDLY (observed metrics)") {
+    // 10001 identical vectors → every probed bucket exceeds MaxBucket
+    val emb = spark.range(10001).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.5f), lit(-0.25f), lit(0.75f)).as("embedding"))
+    val (b0, m0) = DedupOps.bucketGuardCounts(spark)
+    val cand = DedupOps.embeddingCandidates(emb, planes = 4, dim = 4)
+    assert(cand.collect().isEmpty, "guard must suppress the n^2 explosion")
+    val (b1, m1) = DedupOps.bucketGuardCounts(spark)
+    assert(b1 - b0 >= 1, s"dropped buckets must be visible ($b0 -> $b1)")
+    assert(m1 - m0 >= 10001L)
+  }
+
+  test("winnowing relative threshold separates real overlap from boilerplate") {
+    val shared = (0 until 40).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha beta"),            // near-dup pair: ~all grams shared
+      (2L, s"$shared gamma delta"),
+      (3L, "tiny overlap only common0 here"), // shares a few grams with 1/2
+      (4L, "completely different text body")).toDF("doc_id", "text")
+    val rel = DedupOps.winnowingNearDuplicates(docs, minShared = 2, k = 8, w = 4,
+      minSharedFrac = Some(0.5)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rel == Set((1L, 2L)), s"got $rel")
+    // absolute floor alone would also flag the boilerplate pair(s)
+    val abs = DedupOps.winnowingNearDuplicates(docs, minShared = 2, k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(abs.contains((1L, 2L)))
+  }
+
+  test("plan: embedding candidate generation never shuffles vectors") {
+    // build the physical plan with AQE off so the exchange tree is statically
+    // inspectable (under AQE the stages hide behind AdaptiveSparkPlanExec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.range(200).select(col("id").as("vec_id"),
+        array((0 until 8).map(i => (col("id") * (i + 1) % 13).cast("float") - 6.0f): _*).as("embedding"))
+      val plan = DedupOps.embeddingCandidates(emb, planes = 8, dim = 8)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(e.output.forall(a => !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"vector column crosses an exchange: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("grounder build aggregates by normalized pattern BEFORE collect (distributed groupBy)") {
+    import graft.ground.Grounder
+    // 1000 raw rows but only 3 distinct normalized patterns, spread over partitions
+    val rows = (0 until 1000).map { i =>
+      val t = Seq("Alpha  Beta", "alpha-beta", "gamma")(i % 3)
+      (s"P$i", f"$i%05d", t, "rdfs:label", t, "SYN", Seq.empty[String])
+    }
+    val df = spark.createDataFrame(rows).toDF(
+      "prefix", "id", "name", "predicate", "text", "source", "provenance").repartition(16)
+    val g = Grounder.build(df.select("prefix", "id", "name", "predicate", "text"))
+    assert(g.automaton.patterns.length == 2) // "alpha beta" + "gamma"
+    assert(g.automaton.patterns.toSet == Set("alpha beta", "gamma"))
+    // determinism across partitioning layouts
+    val g2 = Grounder.build(df.repartition(3).select("prefix", "id", "name", "predicate", "text"))
+    assert(g2.automaton.patterns.toSeq == g.automaton.patterns.toSeq)
+    assert(g2.ground("alpha beta").map(m => (m.prefix, m.id)) ==
+      g.ground("alpha beta").map(m => (m.prefix, m.id)))
+  }
+
   test("parquet scan prunes columns and pushes filters for text metrics") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")

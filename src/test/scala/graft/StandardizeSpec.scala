@@ -103,6 +103,72 @@ class StandardizeSpec extends AnyFunSuite {
     assert(texts == Set("big", "large", "huge", "small", "little"))
   }
 
+  test("closure T2: a seed NESTED under another seed IS in the union (per-seed nx.ancestors)") {
+    val dag = GraphStandardizer.subClassOfEdges(edges)
+    // PATO:0000117 (size) is a descendant of the root PATO:0000001, so with
+    // both as seeds the union of per-seed ancestors must CONTAIN 0000117
+    // (round-1 anti-joined all seeds out and silently dropped it)
+    val seeds = spark.createDataFrame(Seq(
+      Tuple1("PATO:0000001"), Tuple1("PATO:0000117"))).toDF("curie")
+    val desc = Closure.descendants(dag, seeds).collect().map(_.getString(0)).toSet
+    assert(desc.contains("PATO:0000117"), "nested seed must be included")
+    assert(!desc.contains("PATO:0000001"), "root seed reached by nobody stays excluded")
+    assert(desc.contains("PATO:0000118"))
+  }
+
+  private def writeGraphDoc(name: String, json: String): String = {
+    val p = java.nio.file.Paths.get(s"target/fixtures/$name")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("P2 primary-graph guess: canonical PURL beats substring order (robot.py:71-75)") {
+    // the import graph comes FIRST and its id CONTAINS 'pato' — a substring
+    // guess picks it; the canonical-IRI guess must pick pato.owl
+    val path = writeGraphDoc("multi_graph.json",
+      """{"graphs":[
+        |{"id":"http://purl.obolibrary.org/obo/pato/imports/pato-import.owl","lbl":"import","nodes":[],"edges":[]},
+        |{"id":"http://purl.obolibrary.org/obo/pato.owl","lbl":"primary","nodes":[],"edges":[]}]}""".stripMargin)
+    val gs = OboGraphReader.readGraphs(spark, path)
+    val chosen = OboGraphReader.squeezeGraph(gs, Some("pato")).select("graph_id").collect()(0).getString(0)
+    assert(chosen == "http://purl.obolibrary.org/obo/pato.owl")
+    // no canonical match → lenient substring fallback still works
+    val chosen2 = OboGraphReader.squeezeGraph(gs, Some("pato-import")).select("graph_id").collect()(0).getString(0)
+    assert(chosen2.contains("pato-import"))
+  }
+
+  test("P4: sole graph missing id hard-errors without a source IRI (robot.py:345)") {
+    val path = writeGraphDoc("missing_id.json",
+      """{"graphs":[{"lbl":"anonymous","nodes":[],"edges":[]}]}""")
+    val e = intercept[IllegalArgumentException] {
+      OboGraphReader.readGraphs(spark, path).collect()
+    }
+    assert(e.getMessage.contains("robot.py:345"))
+    // with a source IRI the same document repairs
+    val repaired = OboGraphReader.readGraphs(spark, path, Some("http://x.org/onto.json"))
+      .select("graph_id").collect()(0).getString(0)
+    assert(repaired == "http://x.org/onto.json")
+  }
+
+  test("strict mode: unparseable values surface as typed errors; assert throws (ner.py:32)") {
+    // the fixture deliberately carries an unparseable node IRI (P6 test above)
+    val errs = GraphStandardizer.standardizationErrors(graphs, conv)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(errs.exists { case (kind, raw) => kind == "node_id" && raw.contains("unknown.example") })
+    val ex = intercept[IllegalStateException] {
+      GraphStandardizer.assertStandardizable(graphs, conv)
+    }
+    assert(ex.getMessage.contains("strict"))
+    // a fully-standardizable document passes the assertion
+    val cleanPath = writeGraphDoc("clean_graph.json",
+      """{"graphs":[{"id":"http://purl.obolibrary.org/obo/pato.owl",
+        |"nodes":[{"id":"http://purl.obolibrary.org/obo/PATO_0000001","lbl":"quality"}],
+        |"edges":[{"sub":"http://purl.obolibrary.org/obo/PATO_0000118","pred":"is_a",
+        |          "obj":"http://purl.obolibrary.org/obo/PATO_0000001"}]}]}""".stripMargin)
+    GraphStandardizer.assertStandardizable(OboGraphReader.readGraphs(spark, cleanPath), conv)
+  }
+
   test("connected components J3: xref links collapse to min curie") {
     val xrefEdges = spark.createDataFrame(Seq(
       ("PATO:0000118", "OTHER:123"),
