@@ -173,7 +173,7 @@ object SparkEntry {
     // so the realized output equals the exact shingle-Jaccard predicate,
     // which DuckDB recomputes pairwise over the bounded doc set.
     "q_dedup_minhash" -> ((s, dir) => {
-      DedupOps.minhashNearDuplicates(docs(s, dir).filter(col("doc_id") < 1000),
+      DedupOps.minhashNearDuplicates(docs(s, dir).filter(col("doc_id") < 500),
         threshold = 0.5, k = 16, bands = 16)
     }),
 
@@ -438,14 +438,29 @@ object SparkEntry {
          |  ON s.term = lex.term
          |GROUP BY s.doc_id, s.term""".stripMargin,
 
+    // positional word-boundary matching on engine-normalized text (NOT a
+    // regex on raw text: that neither folds [-_\s]+ runs like the engine nor
+    // survives regex metacharacters in lexicon terms)
     "q_pipeline_triples" ->
       s"""WITH transcripts AS ($T),
-         |lex(term, curie) AS (SELECT * FROM (VALUES ${lexiconValuesSql(singleWordOnly = false)})),
-         |ont(subj, pred, obj) AS (SELECT * FROM (VALUES $ontologyTriplesValuesSql))
+         |t AS (SELECT conv_id, turn_idx,
+         |        trim(regexp_replace(lower(text), '[-_\\s]+', ' ', 'g')) AS norm
+         |      FROM transcripts),
+         |lex AS (SELECT DISTINCT
+         |          trim(regexp_replace(lower(term), '[-_\\s]+', ' ', 'g')) AS term, curie
+         |        FROM (VALUES ${lexiconValuesSql(singleWordOnly = false)}) v(term, curie)),
+         |ont(subj, pred, obj) AS (SELECT * FROM (VALUES $ontologyTriplesValuesSql)),
+         |mentions AS (
+         |  SELECT DISTINCT conv_id, turn_idx, curie
+         |  FROM t, lex,
+         |       LATERAL (SELECT unnest(range(1, length(t.norm) - length(lex.term) + 2)) AS i) gs
+         |  WHERE substr(t.norm, i, length(term)) = term
+         |    AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[a-z0-9]'))
+         |    AND (i + length(term) > length(t.norm)
+         |         OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[a-z0-9]')))
          |SELECT DISTINCT 'turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS subj,
-         |       'ex:mentions' AS pred, lex.curie AS obj
-         |FROM transcripts JOIN lex
-         |  ON regexp_matches(lower(transcripts.text), '\\b' || lex.term || '\\b')
+         |       'ex:mentions' AS pred, curie AS obj
+         |FROM mentions
          |UNION SELECT subj, pred, obj FROM ont""".stripMargin,
 
     "q_turns_sorted" ->
@@ -568,7 +583,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents WHERE doc_id < 1000),
+        |  FROM documents WHERE doc_id < 500),
         |s AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

@@ -50,26 +50,60 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /**
-   * ANN top-k: corpus bucketed by hyperplane LSH; each query MULTI-PROBES its
-   * own bucket plus every 1-bit-flip neighbor (the standard recall lever —
-   * points near a hyperplane land on either side), then exact re-rank. At
-   * 100 TB the bucketed corpus is written partitioned by bucket → each probe
-   * is a partition-pruned scan; probes × queries stays broadcast-small.
-   */
-  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-              nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val corpus = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
+  /** Query-side multiprobe expansion: home bucket + every 1-bit flip. */
+  private def probedQueries(queries: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
     val probes = (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
-    val qs = queries
+    queries
       .withColumn("bucket0", hyperplaneBucket(col("qvec"), nPlanes, dim))
       .withColumn("bucket", explode(array(col("bucket0") +: probes: _*)))
       .drop("bucket0")
-    val scored = corpus.join(broadcast(qs), "bucket")
+  }
+
+  /** Exact cosine re-rank of probed candidates → top-k per query. */
+  private def rerank(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("embedding"), col("qvec")), 6).as("cos"))
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * ANN top-k: corpus bucketed by hyperplane LSH; each query MULTI-PROBES its
+   * own bucket plus every 1-bit-flip neighbor (the standard recall lever —
+   * points near a hyperplane land on either side), then exact re-rank.
+   * In-memory formulation: the corpus is scanned once, probes join broadcast.
+   */
+  def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+              nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val corpus = embeddings.withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
+    rerank(corpus.join(broadcast(probedQueries(queries, nPlanes, dim)), "bucket"), k)
+  }
+
+  /**
+   * The 100 TB storage path: corpus written ONCE partitioned by bucket (the
+   * Iceberg `bucket`-partition layout), probes become STATIC partition
+   * filters on the read — the scan itself prunes to probes/2^planes of the
+   * data instead of filtering after a full scan. Plan-asserted in tests
+   * (PartitionFilters on the probe scan).
+   */
+  def writeBucketed(embeddings: DataFrame, path: String,
+                    nPlanes: Int = 6, dim: Int = 64): Unit =
+    embeddings
+      .withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k over [[writeBucketed]] storage with partition-pruned probes.
+    * Queries are broadcast-small by contract, so their probe set collects to
+    * the driver and prunes statically (no full-scan + post-filter). */
+  def annTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int = 5,
+                      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val qs = probedQueries(queries, nPlanes, dim)
+    val probeBuckets = qs.select("bucket").distinct().collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(path)
+      .filter(col("bucket").isin(probeBuckets: _*))
+    rerank(corpus.join(broadcast(qs), "bucket"), k)
   }
 }

@@ -20,6 +20,20 @@ object SourceResolver {
   /** Placeholder for formats needing driver-side pre-conversion (OWL/OBO). */
   final case class UnsupportedSource(path: String, kind: String) extends SourceSpec
 
+  /**
+   * S3-S5 analogue (robot.py:263-357 convert_to_obograph family): an OWL/OBO
+   * source plus an EXTERNAL converter invocation that produces OBO Graph
+   * JSON. `command` templates `{in}`/`{out}`; a present converter runs once
+   * (output cached at `outPath` — the reference's local-conversion wrapper
+   * S4), an absent/failing converter is a RECORDED skip, never an error —
+   * the engine stays free of a ROBOT dependency while closing the ingest
+   * surface for deployments that ship one.
+   */
+  final case class ConvertedSource(path: String, sourceKind: String,
+                                   command: Seq[String], outPath: String) extends SourceSpec {
+    val kind = s"$sourceKind+convert"
+  }
+
   final case class Resolution(
       graphs: Option[DataFrame],
       resolvedFrom: Option[SourceSpec],
@@ -38,6 +52,27 @@ object SourceResolver {
           case e: Exception =>
             // fallback-and-record, never fail (robot.py:138-147 semantics)
             messages += s"[${s.kind}] $path failed: ${e.getMessage}"
+        }
+      case s: ConvertedSource =>
+        try {
+          val out = java.nio.file.Paths.get(s.outPath)
+          if (!java.nio.file.Files.exists(out)) {
+            val cmd = s.command.map(_.replace("{in}", s.path).replace("{out}", s.outPath))
+            val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+            val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            val rc = proc.waitFor()
+            if (rc != 0) {
+              messages += s"[${s.kind}] ${s.path} converter exited $rc: ${log.take(200)}"
+            }
+          }
+          if (java.nio.file.Files.exists(out)) {
+            val df = OboGraphReader.readGraphs(spark, s.outPath, sourceIri)
+            if (df.limit(1).count() > 0) return Resolution(Some(df), Some(s), messages.toSeq)
+            messages += s"[${s.kind}] ${s.outPath} converted but contained no graphs"
+          }
+        } catch {
+          case e: Exception => // converter missing / conversion or parse failed → record, fall through
+            messages += s"[${s.kind}] ${s.path} conversion failed: ${e.getMessage}"
         }
       case s: UnsupportedSource =>
         messages += s"[${s.kind}] ${s.path} skipped: format requires driver-side pre-conversion"

@@ -38,7 +38,8 @@ object ScalingProbe {
     val reps = sys.env.getOrElse("PROBE_REPS", "4").toInt
     val results = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
 
-    for (round <- 1 to 2; cpus <- Seq(8, 32)) {
+    val levels = sys.env.getOrElse("PROBE_LEVELS", "8,32").split(",").map(_.trim.toInt).toSeq
+    for (round <- 1 to 2; cpus <- levels) {
       val spark = newSession(cpus)
       val transcripts = Transcripts.synthetic(spark, nConvs).cache()
       val nTurns = transcripts.count()
@@ -95,9 +96,11 @@ object ScalingProbe {
     }
 
     System.err.println("\nPROBE SUMMARY (min over rounds)")
+    val lv = sys.env.getOrElse("PROBE_LEVELS", "8,32").split(",").map(_.trim.toInt).toSeq
     for (label <- Seq("scan", "shuffle", "detect", "full", "detectpq")) {
-      val s8 = results((label, 8)); val s32 = results((label, 32))
-      System.err.println(f"$label%-8s sec8=$s8%.3f sec32=$s32%.3f speedup=${s8 / s32}%.2fx eff=${s8 / s32 / 4.0}%.3f")
+      val lo = results((label, lv.head)); val hi = results((label, lv.last))
+      val factor = lv.last.toDouble / lv.head
+      System.err.println(f"$label%-8s sec${lv.head}=$lo%.3f sec${lv.last}=$hi%.3f speedup=${lo / hi}%.2fx eff=${lo / hi / factor}%.3f")
     }
   }
 }

@@ -162,6 +162,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(!reports(2).ok && reports(2).messages.nonEmpty)
   }
 
+  test("S3-S5: ConvertedSource runs an external converter, caches, and resolves") {
+    import graft.sources.SourceResolver
+    import graft.sources.SourceResolver._
+    val script = java.nio.file.Paths.get("target/fixtures/fake_convert.sh")
+    java.nio.file.Files.write(script, "#!/bin/sh\ncp \"$1\" \"$2\"\n".getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val out = "target/fixtures/converted_pato.json"
+    new java.io.File(out).delete()
+    val res = SourceResolver.resolve(spark, Seq(
+      ConvertedSource(ontPath, "owl", Seq("sh", script.toString, "{in}", "{out}"), out)))
+    assert(res.resolvedFrom.exists(_.kind == "owl+convert"))
+    assert(res.graphs.exists(_.count() > 0))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out)), "conversion output cached")
+    // missing converter binary → recorded skip, cascade falls through to JSON
+    val res2 = SourceResolver.resolve(spark, Seq(
+      ConvertedSource("/x.owl", "owl", Seq("/nonexistent/robot", "{in}", "{out}"),
+        "target/fixtures/never_written.json"),
+      JsonSource(ontPath)))
+    assert(res2.resolvedFrom.exists(_.kind == "obograph-json"))
+    assert(res2.messages.exists(_.contains("conversion failed")))
+  }
+
+  test("ANN bucketed storage: partition-pruned probes, same results as in-memory path") {
+    import graft.operators.SimilarityOps
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val path = "target/fixtures/ann_bucketed"
+    SimilarityOps.writeBucketed(emb, path, nPlanes = 4, dim = 16)
+    val got = SimilarityOps.annTopKBucketed(spark, path, queries, k = 3, nPlanes = 4, dim = 16)
+    val want = SimilarityOps.annTopK(emb, queries, k = 3, nPlanes = 4, dim = 16)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(got) == key(want))
+    // the probe scan must prune partitions (storage-level pruning, not a
+    // post-scan filter): the parquet scan advertises partition filters
+    val planTxt = got.queryExecution.executedPlan.toString
+    assert(planTxt.contains("PartitionFilters: [bucket"), planTxt.take(2000))
+  }
+
   test("S8 JSON sink round-trips the graph document (nulls dropped)") {
     val graphs = graft.sources.OboGraphReader.readGraphs(spark, ontPath)
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString + "/doc"
