@@ -177,9 +177,11 @@ object SparkEntry {
         threshold = 0.5, k = 16, bands = 16)
     }),
 
-    // --- dedup: simhash near-dup (rows-only)
+    // --- dedup: simhash near-dup (rows-only: the per-token hash is not
+    // SQL-replicable; recall is structural — blocks derived from maxHamming —
+    // and brute-force-verified in OperatorSpec)
     "q_dedup_simhash" -> ((s, dir) => {
-      DedupOps.simhashNearDuplicates(docs(s, dir), maxHamming = 8)
+      DedupOps.simhashNearDuplicates(docs(s, dir), maxHamming = 4)
     }),
 
     // --- dedup: exact n-gram Jaccard on a bounded pair set (oracle-checked)

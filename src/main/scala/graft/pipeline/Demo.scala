@@ -27,6 +27,14 @@ object Demo {
     res.triples.filter(org.apache.spark.sql.functions.col("pred") === "rdfs:subClassOf").show(30, false)
     println("--- kg_edges manifest:")
     println(ic.manifestJson("kg_edges", ic.currentSnapshotId("kg_edges").get))
+    // dedup family smoke + guard visibility (no silent caps): run minhash
+    // near-dup over the turn texts and surface the mega-bucket guard counts
+    import org.apache.spark.sql.functions._
+    val docs = transcripts.select(
+      xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"), col("text"))
+    val nd = graft.operators.DedupOps.minhashNearDuplicates(docs, threshold = 0.8).count()
+    val (gb, gm) = graft.operators.DedupOps.bucketGuardCounts(spark)
+    println(s"DEDUP near_dup_pairs=$nd dropped_buckets=$gb dropped_members=$gm")
     spark.stop()
   }
 }

@@ -25,10 +25,14 @@ final class RunMetrics(spark: SparkSession) extends Serializable {
   def toJson: String = {
     val msgs = new scala.collection.mutable.ArrayBuffer[String]
     messages.forEach(m => msgs += m)
+    // dedup mega-bucket guard (no silent caps): session-cumulative counts
+    val (gb, gm) = graft.operators.DedupOps.bucketGuardCounts(spark)
     val msgJson = msgs.map(m => "\"" + m.replaceAll("[\"\\\\\\n\\r]", "_") + "\"").mkString("[", ",", "]")
     s"""{"turns_processed":${turnsProcessed.value},"mentions_emitted":${mentionsEmitted.value},""" +
       s""""empty_turns":${emptyTurns.value},"skipped_nodes":${skippedNodes.value},""" +
-      s""""failed_sources":${failedSources.value},"messages":$msgJson}"""
+      s""""failed_sources":${failedSources.value},""" +
+      s""""dedup_dropped_buckets":$gb,"dedup_dropped_bucket_members":$gm,""" +
+      s""""messages":$msgJson}"""
   }
 
   /** Flush to a file (write_getter_warnings analogue, robot.py:371-374). */
