@@ -177,11 +177,13 @@ object SparkEntry {
         threshold = 0.5, k = 16, bands = 16)
     }),
 
-    // --- dedup: simhash near-dup (rows-only: the per-token hash is not
-    // SQL-replicable; recall is structural — blocks derived from maxHamming —
-    // and brute-force-verified in OperatorSpec)
+    // --- dedup: simhash near-dup, oracle-checked: the PORTABLE md5-derived
+    // token hash lets DuckDB recompute every 60-bit signature bit-exactly,
+    // and maxHamming-derived blocks make candidate recall structural — so
+    // the realized output equals the exact pairwise-Hamming predicate.
     "q_dedup_simhash" -> ((s, dir) => {
-      DedupOps.simhashNearDuplicates(docs(s, dir), maxHamming = 4)
+      DedupOps.simhashNearDuplicates(docs(s, dir).filter(col("doc_id") < 500),
+        maxHamming = 4, portableHash = true)
     }),
 
     // --- dedup: exact n-gram Jaccard on a bounded pair set (oracle-checked)
@@ -615,6 +617,30 @@ object SparkEntry {
         |    least(len(x.grams), len(y.grams)) AS min_fp
         |  FROM g x JOIN g y ON x.doc_id < y.doc_id)
         |WHERE n_shared >= greatest(3, CAST(ceil(0.35 * min_fp) AS BIGINT))""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      // 60-bit signature reassembled from per-bit vote sums; bits 60-63 of
+      // the 15-hex-char hash are structurally 0 on both sides
+      val sigBits = (0 until 60).map(j =>
+        s"(CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+         |      (acc, x) -> acc * 16 + x) AS h
+         |  FROM tok),
+         |sig AS (SELECT doc_id, $sigBits AS sig FROM h GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 4""".stripMargin
+    },
 
     "q_fingerprint" ->
       """SELECT doc_id,

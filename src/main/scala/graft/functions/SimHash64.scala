@@ -31,6 +31,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/** SimHash from an ALREADY-HASHED token array (array<long>): same voting
+  * kernel, caller-supplied hash. Exists so the hash can be a PORTABLE one
+  * (md5-derived) that an external oracle (DuckDB) can recompute bit-exactly. */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hashLongs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.hashLongs($c);")
+
+  override def prettyName: String = "simhash64_from_hashes"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64FromHashes =
+    copy(child = newChild)
+}
+
 object SimHash64 {
 
   /** splitmix64 finalizer — deterministic, public-domain mixing constants. */
@@ -79,7 +98,36 @@ object SimHash64 {
     sig
   }
 
+  /** Voting kernel over pre-hashed tokens (array<long>). */
+  def hashLongs(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       SimHash64(org.apache.spark.sql.graftshim.ColumnShim.expr(c)))
+
+  def simhash64FromHashes(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      SimHash64FromHashes(org.apache.spark.sql.graftshim.ColumnShim.expr(c)))
 }

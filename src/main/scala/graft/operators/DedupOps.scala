@@ -225,6 +225,15 @@ object DedupOps {
   def simhash(text: Column): Column =
     SimHash64.simhash64(split(normText(text), " "))
 
+  /** PORTABLE simhash: per-token hash = first 15 hex chars of md5 (60 bits) —
+    * md5 exists in both Spark and DuckDB, so the full signature (and hence
+    * the near-dup pair set) can be recomputed bit-exactly by the SQL oracle.
+    * The FNV variant above stays the performance default. */
+  def simhashPortable(text: Column): Column =
+    SimHash64.simhash64FromHashes(
+      transform(split(normText(text), " "),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   /**
    * SimHash near-dup candidates within Hamming distance ≤ maxHamming via the
    * block trick (Manku et al., WWW'07 pigeonhole): the 64-bit signature is
@@ -235,10 +244,12 @@ object DedupOps {
    * query asked for 8). Block-bucket pairing + exact popcount verify;
    * shuffles only (doc_id, block) pairs.
    */
-  def simhashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDuplicates(documents: DataFrame, maxHamming: Int = 3,
+                            portableHash: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
-    val sigs = documents.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigCol = if (portableHash) simhashPortable(col("text")) else simhash(col("text"))
+    val sigs = documents.select(col("doc_id"), sigCol.as("sig"))
     val blockCols = (0 until blocks).map { b =>
       val lo = b * 64 / blocks
       val width = (b + 1) * 64 / blocks - lo
