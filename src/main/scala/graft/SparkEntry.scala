@@ -195,6 +195,14 @@ object SparkEntry {
         .filter(col("jac") >= 0.5)
     }),
 
+    // --- dedup end-state: near-dup pairs → connected-component groups →
+    // per-doc survivor decision (oracle: recursive-CTE reachability in DuckDB)
+    "q_dedup_groups" -> ((s, dir) => {
+      DedupOps.nearDupGroups(
+        DedupOps.minhashNearDuplicates(docs(s, dir).filter(col("doc_id") < 500),
+          threshold = 0.5, k = 16, bands = 16))
+    }),
+
     // --- similarity: brute-force cosine top-k (exact baseline)
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -641,6 +649,32 @@ object SparkEntry {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= 4""".stripMargin
     },
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        |    FROM s x JOIN s y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |        UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.doc_id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        |SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -318,6 +318,35 @@ object DedupOps {
       .select(col("p.a").as("a"), col("p.b").as("b"))
 
   // -------------------------------------------------------------------------
+  // near-dup groups → survivors (the decision a dedup pipeline actually ships)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Collapse near-duplicate PAIRS into groups (connected components) and pick
+   * one survivor per group (min doc_id — deterministic). Docs in no pair are
+   * their own survivor implicitly; this returns only docs that belong to some
+   * group: (doc_id, keep_id). Components run on the pair list, which is
+   * near-dup-sized, not corpus-sized.
+   */
+  def nearDupGroups(pairs: DataFrame): DataFrame =
+    // zero-pad ids so the component representative (lexicographic min inside
+    // connectedComponents) equals the NUMERIC min doc_id
+    graft.operators.Closure.connectedComponents(
+        pairs.select(format_string("%020d", col("a")).as("a"),
+          format_string("%020d", col("b")).as("b")))
+      .select(col("curie").cast("long").as("doc_id"),
+        col("component").cast("long").as("keep_id"))
+
+  /** End-to-end minhash dedup decision: documents → LSH pairs → groups →
+    * the documents that SURVIVE (group representatives + untouched docs). */
+  def minhashSurvivors(documents: DataFrame, threshold: Double = 0.8,
+                       k: Int = 16, bands: Int = 4): DataFrame = {
+    val groups = nearDupGroups(minhashNearDuplicates(documents, threshold, k, bands))
+    val dropped = groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+    documents.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
   // embedding near-dup
   // -------------------------------------------------------------------------
 

@@ -110,6 +110,15 @@ object OboGraphReader {
       element_at(filter(col("meta.basicPropertyValues"),
         bpv => bpv.getField("pred").contains("versionIRI")), 1).getField("val"))
 
+  /** `guess_version` parity (robot.py:77-84): quiet None on ANY failure —
+    * absent/unparseable document, no squeezed graph, no version — instead of
+    * surfacing the underlying error. */
+  def guessVersion(spark: SparkSession, path: String, prefix: Option[String] = None): Option[String] =
+    try {
+      val g = squeezeGraph(readGraphs(spark, path), prefix)
+      Option(g.select(versionColumn).collect()(0).getString(0))
+    } catch { case _: Exception => None }
+
   /**
    * P1 `squeeze`: select the single primary graph. With `prefix` given, the
    * graph whose id matches the canonical IRI pattern wins (P2 primary-graph

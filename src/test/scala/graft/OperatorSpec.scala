@@ -203,6 +203,31 @@ class OperatorSpec extends AnyFunSuite {
       g.ground("alpha beta").map(m => (m.prefix, m.id)))
   }
 
+  test("near-dup groups + survivors: components collapse to numeric-min doc, others untouched") {
+    // pairs: {1,5,9} chained, {20,30} direct; 7 is in no pair
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("a", "b")
+    val groups = DedupOps.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+
+    val base = (0 until 40).map(i => s"tok$i")
+    val docs = Seq(
+      (9L, base.mkString(" ")),            // near-dup of 10 (numeric 9 < 10, but
+      (10L, base.mkString(" ")),           //  "10" < "9" lexicographically — pin numeric)
+      (7L, "completely different text right here")).toDF("doc_id", "text")
+    val surv = DedupOps.minhashSurvivors(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(9L, 7L), surv.toString)
+  }
+
+  test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
+    import graft.sources.OboGraphReader
+    val ont = graft.fixtures.MiniOntology.writeTo("target/fixtures")
+    assert(OboGraphReader.guessVersion(spark, ont, Some("pato"))
+      .contains("http://purl.obolibrary.org/obo/pato/releases/2026-01-01/pato.owl"))
+    assert(OboGraphReader.guessVersion(spark, "/nonexistent/missing.json").isEmpty)
+  }
+
   test("parquet scan prunes columns and pushes filters for text metrics") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
