@@ -94,6 +94,50 @@ object SimilarityOps {
       .withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  // ------------------------------------------------------------------------
+  // IVF (inverted-file) variant: k-means coarse quantizer instead of random
+  // hyperplanes — data-adaptive lists, the standard trade when the corpus is
+  // clustered rather than isotropic.
+  // ------------------------------------------------------------------------
+
+  /** Broadcastable IVF index: the trained coarse-quantizer centroids. */
+  final case class IvfIndex(centroids: Array[Array[Double]]) extends Serializable
+
+  /**
+   * Train the coarse quantizer with MLlib k-means (seeded → deterministic for
+   * a fixed input). Ontology-of-lists sizing: nLists ≈ √corpus is the usual
+   * heuristic; train on a sample at 100 TB — the quantizer needs distribution
+   * shape, not every row.
+   */
+  def trainIvf(embeddings: DataFrame, nLists: Int = 16, maxIter: Int = 10,
+               seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(vecs)
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-centroid list assignment (native expression, nprobe=1). */
+  def ivfListId(v: Column, index: IvfIndex): Column =
+    element_at(graft.functions.CentroidIds(v, index.centroids, 1), 1)
+
+  /**
+   * IVF ANN top-k: corpus assigned to its nearest list once (narrow
+   * (vec_id, list_id) rows; at scale written `partitionBy(list_id)` exactly
+   * like [[writeBucketed]]); queries probe their `nprobe` nearest lists and
+   * re-rank exactly inside them. Probes × queries stays broadcast-small.
+   */
+  def annTopKIvf(embeddings: DataFrame, queries: DataFrame, index: IvfIndex,
+                 k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val corpus = embeddings.withColumn("list_id", ivfListId(col("embedding"), index))
+    val qs = queries.withColumn("list_id",
+      explode(graft.functions.CentroidIds(col("qvec"), index.centroids, nprobe)))
+    rerank(corpus.join(broadcast(qs), "list_id"), k)
+  }
+
   /** ANN top-k over [[writeBucketed]] storage with partition-pruned probes.
     * Queries are broadcast-small by contract, so their probe set collects to
     * the driver and prunes statically (no full-scan + post-filter). */

@@ -15,7 +15,7 @@ import graft.icelite.Icelite
  * Cluster sizing (master, executors, memory) comes from spark-submit conf —
  * this main only sets semantics-bearing session options. The same binary at
  * N and 4N executors is the two-cluster-size protocol; this sandbox emulates
- * it with local[8]/local[32] in graft.Bench.
+ * it with local[2]/local[8]/local[32] in graft.Bench.
  */
 object Main {
   def main(args: Array[String]): Unit = {

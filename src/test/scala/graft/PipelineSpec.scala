@@ -129,6 +129,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(cRecall >= 0.9, s"clustered ANN recall $cRecall too low")
   }
 
+  test("ANN IVF: k-means lists give near-exact recall on clustered data, better than LSH probes scan share") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => (v + 0.15 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val index = graft.operators.SimilarityOps.trainIvf(emb, nLists = 10, seed = 7)
+    assert(index.centroids.length == 10)
+    val exact = graft.operators.SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.SimilarityOps.annTopKIvf(emb, queries, index, k = 5, nprobe = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+    // determinism: retraining with the same seed reproduces the index
+    val index2 = graft.operators.SimilarityOps.trainIvf(emb, nLists = 10, seed = 7)
+    assert(index2.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+  }
+
   test("plan: the fused pipeline has exactly ONE corpus-wide shuffle") {
     val tr = Transcripts.synthetic(spark, 200)
     val triples = KgPipeline.run(spark, tr, ontPath).triples
