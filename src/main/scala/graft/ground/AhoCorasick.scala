@@ -138,18 +138,27 @@ final class AhoCorasick private (
         val b0 = s.getByte(j) & 0xFF
         var u = 0      // decoded UTF-16 unit
         var low = -1   // low surrogate for supplementary code points
+        // a multi-byte sequence truncated at the buffer end degrades to
+        // U+FFFD (like java.lang.String's decoder) instead of reading past
+        // numBytes into adjacent row memory — Spark-written data is always
+        // valid UTF-8, but the kernel must never depend on that
         if (b0 < 0x80) { u = b0; j += 1 }
         else if (b0 < 0xE0) { // 2-byte sequence
-          u = ((b0 & 0x1F) << 6) | (s.getByte(j + 1) & 0x3F); j += 2
+          if (j + 1 < nBytes) { u = ((b0 & 0x1F) << 6) | (s.getByte(j + 1) & 0x3F); j += 2 }
+          else { u = 0xFFFD; j = nBytes }
         } else if (b0 < 0xF0) { // 3-byte sequence
-          u = ((b0 & 0x0F) << 12) | ((s.getByte(j + 1) & 0x3F) << 6) |
-            (s.getByte(j + 2) & 0x3F); j += 3
+          if (j + 2 < nBytes) {
+            u = ((b0 & 0x0F) << 12) | ((s.getByte(j + 1) & 0x3F) << 6) |
+              (s.getByte(j + 2) & 0x3F); j += 3
+          } else { u = 0xFFFD; j = nBytes }
         } else { // 4-byte sequence → surrogate pair
-          val cp = ((b0 & 0x07) << 18) | ((s.getByte(j + 1) & 0x3F) << 12) |
-            ((s.getByte(j + 2) & 0x3F) << 6) | (s.getByte(j + 3) & 0x3F)
-          j += 4
-          u = 0xD800 + ((cp - 0x10000) >> 10)
-          low = 0xDC00 + ((cp - 0x10000) & 0x3FF)
+          if (j + 3 < nBytes) {
+            val cp = ((b0 & 0x07) << 18) | ((s.getByte(j + 1) & 0x3F) << 12) |
+              ((s.getByte(j + 2) & 0x3F) << 6) | (s.getByte(j + 3) & 0x3F)
+            j += 4
+            u = 0xD800 + ((cp - 0x10000) >> 10)
+            low = 0xDC00 + ((cp - 0x10000) & 0x3FF)
+          } else { u = 0xFFFD; j = nBytes }
         }
         val c = u.toChar
         if (Character.isWhitespace(c) || c == '-' || c == '_') {

@@ -141,11 +141,16 @@ object DedupOps {
         sc.longAccumulator("graft.bucket_guard.dropped_members")))
 
   /** Cumulative (dropped_buckets, dropped_members) this session — non-zero
-    * means some sketch produced a mega-bucket and its pairs were suppressed. */
-  def bucketGuardCounts(spark: org.apache.spark.sql.SparkSession): (Long, Long) =
+    * means some sketch produced a mega-bucket and its pairs were suppressed.
+    * A DIAGNOSTIC SIGNAL, not exact bookkeeping: re-executing a guarded plan
+    * (second action, stage retry, speculation) re-counts its drops; zero vs
+    * non-zero is the load-bearing bit. */
+  def bucketGuardCounts(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    guardAccs.keySet.removeIf(_.isStopped) // don't leak stopped sessions' entries
     Option(guardAccs.get(spark.sparkContext))
       .map { case (b, m) => (b.value.longValue(), m.value.longValue()) }
       .getOrElse((0L, 0L))
+  }
 
   /** Bucket membership lists + the guard, instrumented: dropped bucket/member
     * counts surface via [[bucketGuardCounts]] (a silent cap would read as "no
@@ -187,14 +192,23 @@ object DedupOps {
       size(array_union(ta, tb)).cast("double"), 6)
   }
 
-  /** Exact n-gram SHINGLE-set Jaccard — the space minhash candidates live in,
-    * so verify and candidate generation agree on what "similar" means. */
-  def shingleJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
-    val sa = shingles(textA, n)
-    val sb = shingles(textB, n)
+  /** Exact SHINGLE-set Jaccard from two ALREADY-MATERIALIZED shingle-array
+    * attributes (see the PERFORMANCE RULE above: inlining `shingles(text)`
+    * here would re-tokenize per array element inside the intersect/union
+    * lambdas). Stage arrays with [[shingleArray]] first. */
+  def shingleJaccardFromArrays(sa: Column, sb: Column): Column =
     round(size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double"), 6)
-  }
+
+  /** documents → (doc_id, sh): the staged shingle-array projection chain. */
+  def shingleArray(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** Convenience text-to-text form — ONLY for tiny inputs/tests (HOF rule). */
+  def shingleJaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    shingleJaccardFromArrays(shingles(textA, n), shingles(textB, n))
 
   /**
    * Full near-dup pipeline: LSH candidates → exact SHINGLE-Jaccard verify ≥
@@ -208,11 +222,14 @@ object DedupOps {
   def minhashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(documents, k, bands)
-    val txt = documents.select(col("doc_id"), col("text"))
+    // shingle arrays staged through projections ONCE per doc, then joined to
+    // the candidate pairs — the text-to-text form would re-tokenize per
+    // element inside the intersect/union lambdas (the HOF-lambda CSE trap)
+    val sh = shingleArray(documents)
     cand
-      .join(txt.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "text_a"), "a")
-      .join(txt.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "text_b"), "b")
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b")))
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+      .withColumn("jaccard", shingleJaccardFromArrays(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
@@ -292,8 +309,12 @@ object DedupOps {
   def winnowingNearDuplicates(documents: DataFrame, minShared: Int = 2,
                               k: Int = 8, w: Int = 4,
                               minSharedFrac: Option[Double] = None): DataFrame = {
-    val fps = documents.select(col("doc_id"),
+    val fpsPlan = documents.select(col("doc_id"),
       explode(winnowingSketch(col("text"), k, w)).as("fp"))
+    // the fraction branch consumes fps TWICE (pairing + per-doc counts);
+    // materialize the narrow (doc_id, fp) rows once instead of re-running
+    // the rolling-hash sketch over every document's text
+    val fps = if (minSharedFrac.isDefined) fpsPlan.localCheckpoint(true) else fpsPlan
     val pairs = bucketPairsAll(fps, "fp")
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
     minSharedFrac match {
@@ -328,14 +349,24 @@ object DedupOps {
    * group: (doc_id, keep_id). Components run on the pair list, which is
    * near-dup-sized, not corpus-sized.
    */
-  def nearDupGroups(pairs: DataFrame): DataFrame =
-    // zero-pad ids so the component representative (lexicographic min inside
-    // connectedComponents) equals the NUMERIC min doc_id
-    graft.operators.Closure.connectedComponents(
-        pairs.select(format_string("%020d", col("a")).as("a"),
-          format_string("%020d", col("b")).as("b")))
-      .select(col("curie").cast("long").as("doc_id"),
-        col("component").cast("long").as("keep_id"))
+  /** Sign-flipped fixed-width hex: lexicographic order == numeric long order
+    * for ALL ids, negatives included (zero-padded decimal sorts negatives
+    * backwards — and hash-derived doc_ids are negative half the time). */
+  private def sortableId(c: Column): Column =
+    format_string("%016x", c.bitwiseXOR(lit(Long.MinValue)))
+
+  def nearDupGroups(pairs: DataFrame): DataFrame = {
+    val cc = graft.operators.Closure.connectedComponents(
+      pairs.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))
+    // map encodings back by joining the original ids (hex→long parsing of the
+    // full unsigned range is messier than a broadcast-sized join)
+    val ids = pairs.select(col("a").as("id")).unionByName(pairs.select(col("b").as("id")))
+      .distinct().select(col("id"), sortableId(col("id")).as("enc"))
+    cc
+      .join(ids.withColumnRenamed("enc", "curie").withColumnRenamed("id", "doc_id"), "curie")
+      .join(ids.withColumnRenamed("enc", "component").withColumnRenamed("id", "keep_id"), "component")
+      .select("doc_id", "keep_id")
+  }
 
   /** End-to-end minhash dedup decision: documents → LSH pairs → groups →
     * the documents that SURVIVE (group representatives + untouched docs). */

@@ -151,10 +151,12 @@ object OboGraphReader {
     val canonical = prefix.map { p =>
       graphs.filter(lower(col("graph_id")) === canonicalIri(p))
     }.filter(_.limit(1).count() > 0)
-    val substringFallback = prefix.map { p =>
-      graphs.filter(lower(col("graph_id")).contains(p.toLowerCase))
-    }.filter(_.limit(1).count() > 0)
-    val chosen = canonical.orElse(substringFallback).getOrElse(graphs).limit(1)
+    // orElse is by-name: the fallback probe job only runs when no canonical match
+    val chosen = canonical.orElse {
+      prefix.map { p =>
+        graphs.filter(lower(col("graph_id")).contains(p.toLowerCase))
+      }.filter(_.limit(1).count() > 0)
+    }.getOrElse(graphs).limit(1)
     if (chosen.limit(1).count() == 0)
       throw new IllegalStateException("squeeze on absent graph document (robot.py:64-65 semantics)")
     chosen

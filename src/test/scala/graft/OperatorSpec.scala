@@ -209,6 +209,11 @@ class OperatorSpec extends AnyFunSuite {
     val groups = DedupOps.nearDupGroups(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+    // hash-derived doc_ids are negative half the time: the representative
+    // must be the NUMERIC min (zero-padded decimal would sort -999 > -42)
+    val negGroups = DedupOps.nearDupGroups(Seq((-42L, -999L), (-999L, 7L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(negGroups == Map(-42L -> -999L, -999L -> -999L, 7L -> -999L), negGroups.toString)
 
     val base = (0 until 40).map(i => s"tok$i")
     val docs = Seq(

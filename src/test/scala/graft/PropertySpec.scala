@@ -118,6 +118,21 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("Scanner never reads past numBytes on truncated UTF-8") = {
+    val ac = AhoCorasick.build(Seq("ab", "x"))
+    val scanner = ac.newScanner()
+    forAll(Gen.listOf(Gen.oneOf[Byte](0x61.toByte, 0x62.toByte, 0x20.toByte,
+        0xE2.toByte, 0xC3.toByte, 0xF0.toByte, 0x9F.toByte, 0x98.toByte))) { bytes =>
+      // arbitrary (often malformed/truncated) byte soup must scan without
+      // exceptions or out-of-bounds reads; matches on the valid-ASCII subset
+      // still fire
+      val u = org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes.toArray)
+      var n = 0
+      scanner.scan(u, (_, _, _) => n += 1)
+      n >= 0
+    }
+  }
+
   property("winnowing: identical text -> identical sketch; sketch non-empty") =
     forAll(Gen.asciiPrintableStr) { s =>
       val a = WinnowingSketch.sketch(s, 8, 4)
