@@ -15,6 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SourceResolver {
 
+  /** F6 (pystow.name_from_url semantics, consumed at robot.py:159): the cache
+    * filename for a download URL — last path segment, query/fragment
+    * stripped, URL-decoded. Used to key [[ConvertedSource]] outputs. */
+  def nameFromUrl(url: String): String = {
+    val noFrag = url.takeWhile(c => c != '?' && c != '#')
+    val seg = noFrag.substring(noFrag.lastIndexOf('/') + 1)
+    java.net.URLDecoder.decode(seg, "UTF-8")
+  }
+
   sealed trait SourceSpec { def path: String; def kind: String }
   final case class JsonSource(path: String) extends SourceSpec { val kind = "obograph-json" }
   /** Placeholder for formats needing driver-side pre-conversion (OWL/OBO). */

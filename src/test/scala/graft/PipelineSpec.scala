@@ -230,6 +230,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(planTxt.contains("PartitionFilters: [bucket"), planTxt.take(2000))
   }
 
+  test("F6 nameFromUrl: last segment, query/fragment stripped, decoded (pystow semantics)") {
+    import graft.sources.SourceResolver.nameFromUrl
+    assert(nameFromUrl("http://purl.obolibrary.org/obo/pato.owl") == "pato.owl")
+    assert(nameFromUrl("https://x.org/a/b/onto.json?version=3#frag") == "onto.json")
+    assert(nameFromUrl("https://x.org/my%20file.obo") == "my file.obo")
+  }
+
   test("S8 JSON sink round-trips the graph document (nulls dropped)") {
     val graphs = graft.sources.OboGraphReader.readGraphs(spark, ontPath)
     val out = java.nio.file.Files.createTempDirectory("graft_json").toString + "/doc"
