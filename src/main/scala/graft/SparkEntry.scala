@@ -221,6 +221,20 @@ object SparkEntry {
         .select("query_id", "vec_id", "cos", "rank")
     }),
 
+    // --- similarity: IVF (k-means coarse quantizer). Probing ALL lists makes
+    // the result provably equal to exact brute-force top-k REGARDLESS of the
+    // trained centroids — an exact oracle for the full IVF machinery
+    // (assignment, probe expansion, in-list re-rank); partial-probe recall is
+    // covered by the clustered-data test in PipelineSpec.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val index = SimilarityOps.trainIvf(emb, nLists = 8)
+      SimilarityOps.annTopKIvf(emb, queries, index, k = 5, nprobe = 8)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
     // --- text analysis: token counts, lang-id, quality (oracle-checked)
     "q_text_metrics" -> ((s, dir) => {
       docs(s, dir).select(
@@ -497,6 +511,21 @@ object SparkEntry {
         |        / len(list_distinct(list_concat(x.toks, y.toks))), 6) >= 0.5""".stripMargin,
 
     "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // all-lists IVF ≡ exact brute force (see the query comment)
+    "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (
