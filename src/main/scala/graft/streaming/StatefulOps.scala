@@ -94,6 +94,25 @@ object StatefulOps {
   }
 
   /**
+   * Streaming exact dedup with BOUNDED state: drop any document whose
+   * normalized-text fingerprint was already seen within the watermark
+   * horizon (`dropDuplicatesWithinWatermark` — the state store evicts
+   * fingerprints older than the watermark, so an unbounded stream never
+   * accumulates unbounded dedup state; the batch `exactDedup` is the
+   * full-history counterpart).
+   *
+   * @param docs streaming Dataset with (doc_id, text, ts) columns
+   */
+  def streamingExactDedup(docs: DataFrame,
+                          watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", xxhash64(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
+  /**
    * Watermarked tumbling-window mention-volume aggregation: late events past
    * `watermarkDelay` are dropped and windows finalize exactly once (append
    * mode). The streaming counterpart of the batch `q_events_hourly` shape.

@@ -9,6 +9,10 @@ import graft.fixtures.{MiniOntology, Transcripts}
 import graft.pipeline.KgPipeline
 import graft.streaming.IncrementalKg
 
+object StreamingSpec {
+  final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
@@ -86,6 +90,34 @@ class StreamingSpec extends AnyFunSuite {
       // first window: 2 turns, 3 mentions — the late +100 event was dropped
       assert(byWindow.contains((winStart(1), 2L, 3L)), byWindow.toString)
       assert(byWindow.contains((winStart(12), 1L, 3L)), byWindow.toString)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: duplicates within the watermark horizon dropped, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.StatefulOps
+
+    import StreamingSpec.Doc
+    implicit val enc = Encoders.product[Doc]
+    val source = MemoryStream[Doc](enc, spark)
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+
+    val deduped = StatefulOps.streamingExactDedup(source.toDF(), watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      source.addData(
+        Doc(1, "Hello  World", ts(0)),
+        Doc(2, "hello world", ts(1)),   // normalized duplicate of 1 → dropped
+        Doc(3, "something else", ts(1)))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still within the horizon → dropped
+      source.addData(Doc(4, "HELLO   world", ts(2)))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), ids.toString)
     } finally q.stop()
   }
 
