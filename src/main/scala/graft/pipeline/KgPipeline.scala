@@ -26,9 +26,11 @@ import graft.sources.OboGraphReader
  *  - the ontology/lexicon/grounder path never shuffles the corpus: grounder
  *    and xref-merge maps are driver-built from ontology-sized tables and
  *    BROADCAST;
- *  - exactly two corpus-wide shuffles: the salted repartition and the final
- *    triple dedup (partial/final hash aggregate — map-side combine collapses
- *    repeated mentions before the exchange);
+ *  - at most ONE corpus-wide shuffle on the fused path: the salted
+ *    repartition (skipped entirely for conv_id-bucketed input — the Iceberg
+ *    storage layout); per-turn dedup is map-side by construction. Only the
+ *    icelite-materializing path pays a second exchange (snapshot read-back
+ *    loses partitioning, so its dedup is a real partial/final hash agg);
  *  - AQE + skew-join enabled by session conf; salting bounds any single
  *    conversation's partition footprint.
  */

@@ -230,6 +230,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(planTxt.contains("PartitionFilters: [bucket"), planTxt.take(2000))
   }
 
+  test("driver contract: every query has an oracle, every oracle names a real query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries without oracles (would grade as rows-only): ${q -- o}")
+  }
+
   test("F6 nameFromUrl: last segment, query/fragment stripped, decoded (pystow semantics)") {
     import graft.sources.SourceResolver.nameFromUrl
     assert(nameFromUrl("http://purl.obolibrary.org/obo/pato.owl") == "pato.owl")
