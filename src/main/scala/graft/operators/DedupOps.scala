@@ -355,17 +355,45 @@ object DedupOps {
   private def sortableId(c: Column): Column =
     format_string("%016x", c.bitwiseXOR(lit(Long.MinValue)))
 
-  def nearDupGroups(pairs: DataFrame): DataFrame = {
-    val cc = graft.operators.Closure.connectedComponents(
-      pairs.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))
-    // map encodings back by joining the original ids (hex→long parsing of the
-    // full unsigned range is messier than a broadcast-sized join)
-    val ids = pairs.select(col("a").as("id")).unionByName(pairs.select(col("b").as("id")))
-      .distinct().select(col("id"), sortableId(col("id")).as("enc"))
-    cc
-      .join(ids.withColumnRenamed("enc", "curie").withColumnRenamed("id", "doc_id"), "curie")
-      .join(ids.withColumnRenamed("enc", "component").withColumnRenamed("id", "keep_id"), "component")
-      .select("doc_id", "keep_id")
+  /** Above this pair count the component computation runs distributed;
+    * below, a driver union-find (same cost-based switch as
+    * KgPipeline.xrefCanonicalMap — the iterative join loop pays whole jobs
+    * per hop, absurd for near-dup-sized pair lists). */
+  val DriverGroupLimit = 200000L
+
+  def nearDupGroups(pairs: DataFrame, driverLimit: Long = DriverGroupLimit): DataFrame = {
+    val spark = pairs.sparkSession
+    val narrow = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    if (narrow.limit(driverLimit.toInt + 1).count() <= driverLimit) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      narrow.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb // numeric-min root
+        }
+      }
+      val members = (parent.keySet ++ parent.values).toSeq.sorted
+      import spark.implicits._
+      members.map(m => (m, find(m))).toDF("doc_id", "keep_id")
+    } else {
+      val cc = graft.operators.Closure.connectedComponents(
+        narrow.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))
+      // map encodings back by joining the original ids (hex→long parsing of
+      // the full unsigned range is messier than a narrow join)
+      val ids = narrow.select(col("a").as("id")).unionByName(narrow.select(col("b").as("id")))
+        .distinct().select(col("id"), sortableId(col("id")).as("enc"))
+      cc
+        .join(ids.withColumnRenamed("enc", "curie").withColumnRenamed("id", "doc_id"), "curie")
+        .join(ids.withColumnRenamed("enc", "component").withColumnRenamed("id", "keep_id"), "component")
+        .select("doc_id", "keep_id")
+    }
   }
 
   /** End-to-end minhash dedup decision: documents → LSH pairs → groups →

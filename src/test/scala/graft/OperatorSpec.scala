@@ -214,6 +214,12 @@ class OperatorSpec extends AnyFunSuite {
     val negGroups = DedupOps.nearDupGroups(Seq((-42L, -999L), (-999L, 7L)).toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(negGroups == Map(-42L -> -999L, -999L -> -999L, 7L -> -999L), negGroups.toString)
+    // the distributed branch (forced via driverLimit = 0) must agree exactly
+    val distGroups = DedupOps.nearDupGroups(
+        Seq((-42L, -999L), (-999L, 7L), (1L, 5L), (5L, 9L)).toDF("a", "b"), driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distGroups == Map(-42L -> -999L, -999L -> -999L, 7L -> -999L,
+      1L -> 1L, 5L -> 1L, 9L -> 1L), distGroups.toString)
 
     val base = (0 until 40).map(i => s"tok$i")
     val docs = Seq(
