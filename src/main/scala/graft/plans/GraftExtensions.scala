@@ -19,10 +19,10 @@ import graft.functions._
  * fixture converter; production swaps in a Bioregistry-scale prefix map via
  * [[GraftExtensions.converterOverride]] before session build).
  *
- * No custom Strategy/LogicalPlan is injected on purpose (SURVEY §4.4): every
- * whole-operator semantic the engine needs is expressible with built-in
- * operators plus these expressions; the trie mention-detection stage is
- * deliberately `mapPartitions` (per-partition automaton state).
+ * Also injects [[DetectTriplesStrategy]] so the custom mention-detection
+ * operator plans in extension-built sessions without the
+ * `experimental.extraStrategies` call (the engine-API path,
+ * [[DetectTriples.ensureRegistered]], keeps working for plain sessions).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -50,6 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo("graft.functions", "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64_from_hashes"),
+      new ExpressionInfo("graft.functions", "simhash64_from_hashes"),
+      (children: Seq[Expression]) => SimHash64FromHashes(children.head)))
+    // winnowing_sketch(text[, k, w]) — k/w must be foldable int literals
+    ext.injectFunction((
+      FunctionIdentifier("winnowing_sketch"),
+      new ExpressionInfo("graft.functions", "winnowing_sketch"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int, dflt: Int): Int =
+          if (children.size > i) children(i).eval().asInstanceOf[Number].intValue else dflt
+        WinnowingSketch(children.head, intArg(1, 8), intArg(2, 4))
+      }))
+    ext.injectPlannerStrategy(_ => DetectTriplesStrategy)
   }
 }
 

@@ -36,6 +36,22 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getBoolean(5))
       // null-in → null-out through SQL
       assert(s.sql("SELECT compress_iri(CAST(NULL AS STRING))").collect()(0).isNullAt(0))
+      // sketch family + foldable int args
+      val w = s.sql(
+        """SELECT size(winnowing_sketch('the quick brown fox jumps', 8, 4)) AS n,
+          |       winnowing_sketch('abc') = winnowing_sketch('abc') AS st,
+          |       simhash64_from_hashes(array(1L, 2L, 3L)) =
+          |         simhash64_from_hashes(array(1L, 2L, 3L)) AS sh
+          |""".stripMargin).collect()(0)
+      assert(w.getInt(0) > 0 && w.getBoolean(1) && w.getBoolean(2))
+      // the custom operator strategy is injected too: the full pipeline plans
+      // and runs on an extensions-built session without manual registration
+      val tr = graft.fixtures.Transcripts.synthetic(s, 20)
+      val ctx = graft.pipeline.KgPipeline.prepare(s,
+        graft.fixtures.MiniOntology.writeTo("target/fixtures"))
+      val triples = graft.ground.MentionDetector.detectTriples(
+        graft.ground.MentionDetector.slim(tr), ctx.grounder)
+      assert(triples.count() > 0)
     } finally {
       // do NOT stop the context (shared JVM); just restore the prior session
       prior.foreach { p =>
