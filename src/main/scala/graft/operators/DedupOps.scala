@@ -364,24 +364,17 @@ object DedupOps {
   def nearDupGroups(pairs: DataFrame, driverLimit: Long = DriverGroupLimit): DataFrame = {
     val spark = pairs.sparkSession
     val narrow = pairs.select(col("a").cast("long"), col("b").cast("long"))
-    if (narrow.limit(driverLimit.toInt + 1).count() <= driverLimit) {
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      narrow.collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb // numeric-min root
-        }
-      }
-      val members = (parent.keySet ++ parent.values).toSeq.sorted
+    // ONE probe job decides the branch AND feeds the driver path: collecting
+    // limit(n+1) and branching on length avoids re-running the (potentially
+    // expensive) upstream pair pipeline for a separate count
+    val limitInt = math.min(driverLimit, Int.MaxValue - 1L).toInt
+    val probe = narrow.limit(limitInt + 1).collect()
+    if (probe.length <= limitInt) {
+      // self-pairs count as membership (matches the distributed CC exactly)
+      val comp = DriverUnionFind.components(
+        probe.iterator.map(r => (r.getLong(0), r.getLong(1))))((x, y) => math.min(x, y))
       import spark.implicits._
-      members.map(m => (m, find(m))).toDF("doc_id", "keep_id")
+      comp.toSeq.sortBy(_._1).toDF("doc_id", "keep_id")
     } else {
       val cc = graft.operators.Closure.connectedComponents(
         narrow.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))

@@ -73,23 +73,11 @@ object KgPipeline {
     // driver union-find + broadcast map is both exact and ~20× cheaper in
     // job-scheduling overhead than the iterative join loop. The distributed
     // path stays for genuinely large entity graphs.
+    val probe = xrefEdges.limit(DriverUnionFindLimit.toInt + 1).collect()
     val pairs: Array[(String, String)] =
-      if (xrefEdges.limit(DriverUnionFindLimit.toInt + 1).count() <= DriverUnionFindLimit) {
-        val parent = scala.collection.mutable.HashMap[String, String]()
-        def find(x: String): String = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        xrefEdges.collect().foreach { row =>
-          val (a, b) = (row.getString(0), row.getString(1))
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(ra) = rb
-        }
-        val members = parent.keySet ++ parent.values
-        members.toArray.map(m => m -> find(m))
+      if (probe.length <= DriverUnionFindLimit) {
+        graft.operators.DriverUnionFind.components(
+          probe.iterator.map(r => (r.getString(0), r.getString(1))))((x, _) => x).toArray
       } else {
         Closure.connectedComponents(xrefEdges)
           .collect().map(r => (r.getString(0), r.getString(1)))

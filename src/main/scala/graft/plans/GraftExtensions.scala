@@ -59,8 +59,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnowing_sketch"),
       new ExpressionInfo("graft.functions", "winnowing_sketch"),
       (children: Seq[Expression]) => {
+        if (children.isEmpty || children.size > 3) throw new IllegalArgumentException(
+          s"winnowing_sketch expects (text[, k, w]), got ${children.size} arguments")
         def intArg(i: Int, dflt: Int): Int =
-          if (children.size > i) children(i).eval().asInstanceOf[Number].intValue else dflt
+          if (children.size <= i) dflt
+          else children(i) match {
+            case e if e.foldable => e.eval() match {
+              case n: Number => n.intValue
+              case other => throw new IllegalArgumentException(
+                s"winnowing_sketch argument ${i + 1} must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              s"winnowing_sketch argument ${i + 1} must be a foldable int literal")
+          }
         WinnowingSketch(children.head, intArg(1, 8), intArg(2, 4))
       }))
     ext.injectPlannerStrategy(_ => DetectTriplesStrategy)

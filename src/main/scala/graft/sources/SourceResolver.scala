@@ -17,11 +17,31 @@ object SourceResolver {
 
   /** F6 (pystow.name_from_url semantics, consumed at robot.py:159): the cache
     * filename for a download URL — last path segment, query/fragment
-    * stripped, URL-decoded. Used to key [[ConvertedSource]] outputs. */
+    * stripped, percent-decoded. TOTAL function: '+' stays literal (this is
+    * path decoding, not form decoding — URLDecoder would turn it into a
+    * space) and malformed %-sequences pass through unchanged instead of
+    * throwing. Used by [[ConvertedSource.cached]] to key converter outputs. */
   def nameFromUrl(url: String): String = {
     val noFrag = url.takeWhile(c => c != '?' && c != '#')
     val seg = noFrag.substring(noFrag.lastIndexOf('/') + 1)
-    java.net.URLDecoder.decode(seg, "UTF-8")
+    def hex(c: Char): Int = Character.digit(c, 16)
+    val sb = new java.lang.StringBuilder(seg.length)
+    val bytes = new java.io.ByteArrayOutputStream() // consecutive %XX → one UTF-8 run
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+    }
+    var i = 0
+    while (i < seg.length) {
+      val c = seg.charAt(i)
+      if (c == '%' && i + 2 < seg.length && hex(seg.charAt(i + 1)) >= 0 && hex(seg.charAt(i + 2)) >= 0) {
+        bytes.write(hex(seg.charAt(i + 1)) * 16 + hex(seg.charAt(i + 2)))
+        i += 3
+      } else {
+        flush(); sb.append(c); i += 1
+      }
+    }
+    flush()
+    sb.toString
   }
 
   sealed trait SourceSpec { def path: String; def kind: String }
@@ -41,6 +61,15 @@ object SourceResolver {
   final case class ConvertedSource(path: String, sourceKind: String,
                                    command: Seq[String], outPath: String) extends SourceSpec {
     val kind = s"$sourceKind+convert"
+  }
+
+  object ConvertedSource {
+    /** Cache-keyed construction: the converter output lives at
+      * `cacheDir/<nameFromUrl(source)>.json` — the reference's
+      * download-and-cache naming (S7, robot.py:159). */
+    def cached(path: String, sourceKind: String, command: Seq[String],
+               cacheDir: String): ConvertedSource =
+      ConvertedSource(path, sourceKind, command, s"$cacheDir/${nameFromUrl(path)}.json")
   }
 
   final case class Resolution(

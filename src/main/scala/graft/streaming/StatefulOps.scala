@@ -106,8 +106,10 @@ object StatefulOps {
   def streamingExactDedup(docs: DataFrame,
                           watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp", xxhash64(
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      // SAME fingerprint as the batch path (TextOps.fingerprint =
+      // xxhash64 ∘ DedupOps.normText) — batch and streaming dedup must never
+      // disagree on what counts as a duplicate
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")

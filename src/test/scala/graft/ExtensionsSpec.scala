@@ -44,14 +44,24 @@ class ExtensionsSpec extends AnyFunSuite {
           |         simhash64_from_hashes(array(1L, 2L, 3L)) AS sh
           |""".stripMargin).collect()(0)
       assert(w.getInt(0) > 0 && w.getBoolean(1) && w.getBoolean(2))
-      // the custom operator strategy is injected too: the full pipeline plans
-      // and runs on an extensions-built session without manual registration
+      // the custom operator strategy is injected too: construct the logical
+      // node DIRECTLY (bypassing detectTriples' ensureRegistered fallback) —
+      // planning succeeds only via the extension-injected strategy
+      assert(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies.isEmpty, "test precondition: no manual registration")
       val tr = graft.fixtures.Transcripts.synthetic(s, 20)
       val ctx = graft.pipeline.KgPipeline.prepare(s,
         graft.fixtures.MiniOntology.writeTo("target/fixtures"))
-      val triples = graft.ground.MentionDetector.detectTriples(
-        graft.ground.MentionDetector.slim(tr), ctx.grounder)
-      assert(triples.count() > 0)
+      import org.apache.spark.sql.graftshim.InternalRowShim
+      val node = graft.plans.DetectTriplesNode(
+        InternalRowShim.logicalPlan(
+          tr.select(org.apache.spark.sql.functions.col("conv_id"),
+            org.apache.spark.sql.functions.col("turn_idx"),
+            org.apache.spark.sql.functions.col("text"))),
+        ctx.grounder, None)
+      assert(InternalRowShim.logicalDf(s, node).count() > 0)
+      assert(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies.isEmpty, "planning must not have needed the fallback")
     } finally {
       // do NOT stop the context (shared JVM); just restore the prior session
       prior.foreach { p =>

@@ -192,10 +192,14 @@ class PipelineSpec extends AnyFunSuite {
     val script = java.nio.file.Paths.get("target/fixtures/fake_convert.sh")
     java.nio.file.Files.write(script, "#!/bin/sh\ncp \"$1\" \"$2\"\n".getBytes("UTF-8"))
     script.toFile.setExecutable(true)
-    val out = "target/fixtures/converted_pato.json"
+    val src = ConvertedSource.cached(ontPath, "owl",
+      Seq("sh", script.toString, "{in}", "{out}"), "target/fixtures/convcache")
+    val out = src.outPath
+    assert(out.endsWith("/" + java.nio.file.Paths.get(ontPath).getFileName.toString + ".json"),
+      s"cache key must come from nameFromUrl: $out")
     new java.io.File(out).delete()
-    val res = SourceResolver.resolve(spark, Seq(
-      ConvertedSource(ontPath, "owl", Seq("sh", script.toString, "{in}", "{out}"), out)))
+    new java.io.File("target/fixtures/convcache").mkdirs()
+    val res = SourceResolver.resolve(spark, Seq(src))
     assert(res.resolvedFrom.exists(_.kind == "owl+convert"))
     assert(res.graphs.exists(_.count() > 0))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out)), "conversion output cached")
@@ -242,6 +246,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(nameFromUrl("http://purl.obolibrary.org/obo/pato.owl") == "pato.owl")
     assert(nameFromUrl("https://x.org/a/b/onto.json?version=3#frag") == "onto.json")
     assert(nameFromUrl("https://x.org/my%20file.obo") == "my file.obo")
+    // path decoding, not form decoding: '+' stays literal; malformed '%' is total
+    assert(nameFromUrl("https://x.org/onto+v2.owl") == "onto+v2.owl")
+    assert(nameFromUrl("https://x.org/file%2.owl") == "file%2.owl")
+    assert(nameFromUrl("https://x.org/%C3%A9.owl") == "é.owl")
   }
 
   test("S8 JSON sink round-trips the graph document (nulls dropped)") {
