@@ -19,6 +19,17 @@ case class CentroidIds(child: Expression, centroids: Array[Array[Double]], nprob
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // fail at ANALYSIS, not with a ClassCastException at eval, when the child
+  // isn't a float/double array
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_ids requires array<float>/array<double> input, got ${other.catalogString}")
+    }
+
   private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == FloatType
@@ -56,6 +67,13 @@ case class CentroidIds(child: Expression, centroids: Array[Array[Double]], nprob
       while (i < m) {
         if (!taken(i) && d2(i) < bestD) { bestD = d2(i); best = i }
         i += 1
+      }
+      if (best < 0) {
+        // every remaining distance is NaN (a NaN element poisons s, and
+        // NaN < bestD never holds) — one bad embedding must not kill the IVF
+        // job; fall back to the first untaken list deterministically
+        var i2 = 0
+        while (best < 0 && i2 < m) { if (!taken(i2)) best = i2; i2 += 1 }
       }
       taken(best) = true
       out(j) = best

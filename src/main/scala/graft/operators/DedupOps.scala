@@ -266,7 +266,11 @@ object DedupOps {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
     val sigCol = if (portableHash) simhashPortable(col("text")) else simhash(col("text"))
-    val sigs = documents.select(col("doc_id"), sigCol.as("sig"))
+    // sigs feeds THREE consumers (banding + both sides of the verify join);
+    // as a plan that is three full text→tokens→hash→vote corpus scans —
+    // materialize the narrow (doc_id, sig) rows once instead (same rule as
+    // winnowingNearDuplicates' fraction branch)
+    val sigs = documents.select(col("doc_id"), sigCol.as("sig")).localCheckpoint(true)
     val blockCols = (0 until blocks).map { b =>
       val lo = b * 64 / blocks
       val width = (b + 1) * 64 / blocks - lo

@@ -50,17 +50,59 @@ object SourceResolver {
   final case class UnsupportedSource(path: String, kind: String) extends SourceSpec
 
   /**
+   * S4/S5 conversion-flag semantics (robot.py:191-260): `check` toggles the
+   * OBO document-structure enforcement — `check = false` is the reference's
+   * documented escape hatch for malformed ontologies (ner.py:55-64);
+   * `reason` turns on ontology reasoning; `merge` squashes all graphs.
+   * The local and remote wrappers default ASYMMETRICALLY in the reference,
+   * modeled by the two constants below.
+   */
+  final case class ConvertFlags(check: Boolean = true, reason: Boolean = false,
+                                merge: Boolean = false) {
+    /** ROBOT-style argv rendering, substituted for a `{flags}` command token. */
+    def render: Seq[String] =
+      Seq("--check", if (check) "true" else "false") ++
+        (if (reason) Seq("--reason") else Nil) ++
+        (if (merge) Seq("--merge") else Nil)
+  }
+
+  object ConvertFlags {
+    /** `convert_to_obograph_local` defaults (robot.py:191-198). */
+    val Local = ConvertFlags()
+    /** `convert_to_obograph_remote` defaults (robot.py:227-233): reasoning
+      * and graph-merge ON when pulling a remote IRI. */
+    val Remote = ConvertFlags(check = true, reason = true, merge = true)
+  }
+
+  /**
    * S3-S5 analogue (robot.py:263-357 convert_to_obograph family): an OWL/OBO
    * source plus an EXTERNAL converter invocation that produces OBO Graph
-   * JSON. `command` templates `{in}`/`{out}`; a present converter runs once
-   * (output cached at `outPath` — the reference's local-conversion wrapper
-   * S4), an absent/failing converter is a RECORDED skip, never an error —
-   * the engine stays free of a ROBOT dependency while closing the ingest
-   * surface for deployments that ship one.
+   * JSON. `command` templates `{in}`/`{out}` (and an optional `{flags}`
+   * token that expands to [[ConvertFlags.render]] — commands without the
+   * token ignore flags, so non-ROBOT converters stay expressible); a present
+   * converter runs once (output cached at `outPath` — the reference's
+   * local-conversion wrapper S4), an absent/failing/hung converter is a
+   * RECORDED skip, never an error — the engine stays free of a ROBOT
+   * dependency while closing the ingest surface for deployments that ship
+   * one.
    */
   final case class ConvertedSource(path: String, sourceKind: String,
-                                   command: Seq[String], outPath: String) extends SourceSpec {
+                                   command: Seq[String], outPath: String,
+                                   flags: ConvertFlags = ConvertFlags.Local,
+                                   timeoutSec: Long = 600L) extends SourceSpec {
     val kind = s"$sourceKind+convert"
+
+    /** The exact argv executed: `{in}`/`{out}` substituted, `{flags}`
+      * expanded in place. `{out}` points at a TEMP path during conversion —
+      * the cache location only ever holds complete rc==0 output. */
+    def renderedCommand(outTarget: String = outPath): Seq[String] =
+      command.flatMap {
+        case "{flags}" => flags.render
+        case tok       => Seq(tok.replace("{in}", path).replace("{out}", outTarget))
+      }
+
+    /** ner.py:55-64 escape hatch: same source, structure checks off. */
+    def unchecked: ConvertedSource = copy(flags = flags.copy(check = false))
   }
 
   object ConvertedSource {
@@ -68,8 +110,9 @@ object SourceResolver {
       * `cacheDir/<nameFromUrl(source)>.json` — the reference's
       * download-and-cache naming (S7, robot.py:159). */
     def cached(path: String, sourceKind: String, command: Seq[String],
-               cacheDir: String): ConvertedSource =
-      ConvertedSource(path, sourceKind, command, s"$cacheDir/${nameFromUrl(path)}.json")
+               cacheDir: String, flags: ConvertFlags = ConvertFlags.Local): ConvertedSource =
+      ConvertedSource(path, sourceKind, command, s"$cacheDir/${nameFromUrl(path)}.json",
+        flags)
   }
 
   final case class Resolution(
@@ -95,13 +138,38 @@ object SourceResolver {
         try {
           val out = java.nio.file.Paths.get(s.outPath)
           if (!java.nio.file.Files.exists(out)) {
-            val cmd = s.command.map(_.replace("{in}", s.path).replace("{out}", s.outPath))
-            val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-            val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-            val rc = proc.waitFor()
-            if (rc != 0) {
-              messages += s"[${s.kind}] ${s.path} converter exited $rc: ${log.take(200)}"
-            }
+            // converter writes to a TEMP path, renamed into the cache slot
+            // only on rc==0 — a failed/killed conversion must never leave a
+            // partial file that (a) parses as garbage now and (b) poisons the
+            // `Files.exists` cache guard on every later run
+            val tmp = java.nio.file.Paths.get(
+              s.outPath + ".tmp." + ProcessHandle.current().pid())
+            try {
+              val cmd = s.renderedCommand(tmp.toString)
+              val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+              // drain asynchronously: a full pipe buffer would deadlock the
+              // child, but a blocking readAllBytes would defeat the timeout
+              val logBuf = new java.io.ByteArrayOutputStream()
+              val drain = new Thread(() =>
+                try proc.getInputStream.transferTo(logBuf)
+                catch { case _: java.io.IOException => () })
+              drain.setDaemon(true)
+              drain.start()
+              if (!proc.waitFor(s.timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+                proc.destroyForcibly() // a hung converter must not block the sweep
+                messages += s"[${s.kind}] ${s.path} converter timed out after ${s.timeoutSec}s"
+              } else {
+                drain.join(2000)
+                val rc = proc.exitValue()
+                if (rc == 0 && java.nio.file.Files.exists(tmp)) {
+                  java.nio.file.Files.move(tmp, out,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                } else if (rc != 0) {
+                  messages += s"[${s.kind}] ${s.path} converter exited $rc: " +
+                    logBuf.toString("UTF-8").take(200)
+                }
+              }
+            } finally java.nio.file.Files.deleteIfExists(tmp)
           }
           if (java.nio.file.Files.exists(out)) {
             val df = OboGraphReader.readGraphs(spark, s.outPath, sourceIri)

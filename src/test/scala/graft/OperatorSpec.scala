@@ -67,6 +67,30 @@ class OperatorSpec extends AnyFunSuite {
     val exact = pairs.find(p => p._1 == 1 && p._2 == 2)
     assert(exact.exists(_._3 == 0))
     assert(!pairs.exists(p => p._2 == 4 || p._1 == 4))
+
+    // the signature scan is MATERIALIZED once: none of the three consumers
+    // (banding + both verify-join sides) recomputes text→tokens→hash→vote —
+    // the executed plan reads the checkpointed (doc_id, sig) rows instead
+    val plan = DedupOps.simhashNearDuplicates(df, maxHamming = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("simhash"), "signature subtree recomputed in final plan")
+  }
+
+  test("centroid_ids: NaN embedding degrades deterministically, bad type fails analysis") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(20.0, 20.0))
+    val df = Seq(
+      (1L, Array(Float.NaN, 1.0f)), // NaN poisons every distance
+      (2L, Array(9.5f, 9.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.functions.CentroidIds(col("embedding"), cents, 2).as("ids"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(2L) == Seq(1, 0)) // nearest-first for a clean vector
+    assert(got(1L) == Seq(0, 1)) // NaN row: first-untaken fallback, no crash
+    // non-array child must fail at analysis, not ClassCastException at eval
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(graft.functions.CentroidIds(col("x"), cents, 1)).collect()
+    }
+    assert(ex.getMessage.contains("centroid_ids") || ex.getMessage.contains("DATATYPE"))
   }
 
   test("jaccard: exact token-set semantics") {

@@ -153,6 +153,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(index2.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
   }
 
+  test("J3 at scale: join-path canonicalization == driver-map path on >1e5 merge edges") {
+    import spark.implicits._
+    // 120k xref edges: 30k components of 4 members each (E:4k .. E:4k+3,
+    // chained), ids zero-padded so lexicographic min == numeric min
+    val nGroups = 30000
+    val edges = spark.range(nGroups).select(col("id"))
+      .select(explode(array((0 until 3).map(j =>
+        struct(format_string("E:%07d", col("id") * 4 + j).as("a"),
+          format_string("E:%07d", col("id") * 4 + j + 1).as("b"))): _*)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val emptyNodes = spark.createDataFrame(Seq.empty[(String, Seq[String])])
+      .toDF("curie", "xrefs")
+
+    // distributed table path (never collects)
+    val table = KgPipeline.xrefCanonicalTable(emptyNodes, None, Some(edges))
+    // driver-map path on the same edges (forced through union-find by size? —
+    // 120k < 200k limit, so this IS the driver branch)
+    val m = KgPipeline.xrefCanonicalMap(emptyNodes, None, Some(edges))
+    assert(m.size == nGroups * 3) // every non-rep member remapped
+    val tableMap = table.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tableMap == m)
+
+    // triples through both rewrite paths agree exactly
+    val triples = spark.range(5000).select(
+      format_string("E:%07d", col("id") * 24 % (nGroups * 4)).as("subj"),
+      lit("rel").as("pred"),
+      format_string("E:%07d", (col("id") * 24 + 17) % (nGroups * 4)).as("obj"))
+    val viaJoin = KgPipeline.canonicalizeJoin(triples, table)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val viaMap = KgPipeline.canonicalize(triples, m)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaJoin.toSeq == viaMap.toSeq)
+  }
+
   test("plan: the fused pipeline has exactly ONE corpus-wide shuffle") {
     val tr = Transcripts.synthetic(spark, 200)
     val triples = KgPipeline.run(spark, tr, ontPath).triples
@@ -210,6 +244,64 @@ class PipelineSpec extends AnyFunSuite {
       JsonSource(ontPath)))
     assert(res2.resolvedFrom.exists(_.kind == "obograph-json"))
     assert(res2.messages.exists(_.contains("conversion failed")))
+  }
+
+  test("S4/S5 flags: local/remote default asymmetry rendered into the argv (robot.py:191-260)") {
+    import graft.sources.SourceResolver._
+    val cmd = Seq("robot-convert", "-i", "{in}", "{flags}", "-o", "{out}")
+    val local = ConvertedSource("/o.owl", "owl", cmd, "/tmp/o.json") // default = Local
+    assert(local.renderedCommand() ==
+      Seq("robot-convert", "-i", "/o.owl", "--check", "true", "-o", "/tmp/o.json"))
+    val remote = ConvertedSource("/o.owl", "owl", cmd, "/tmp/o.json", ConvertFlags.Remote)
+    assert(remote.renderedCommand() ==
+      Seq("robot-convert", "-i", "/o.owl", "--check", "true", "--reason", "--merge",
+        "-o", "/tmp/o.json"))
+    // ner.py:55-64 escape hatch: structure checks off, everything else kept
+    assert(remote.unchecked.renderedCommand() ==
+      Seq("robot-convert", "-i", "/o.owl", "--check", "false", "--reason", "--merge",
+        "-o", "/tmp/o.json"))
+    // a command without {flags} ignores them (non-ROBOT converters)
+    assert(ConvertedSource("/a", "owl", Seq("cp", "{in}", "{out}"), "/tmp/b").renderedCommand()
+      == Seq("cp", "/a", "/tmp/b"))
+  }
+
+  test("S4 failure hygiene: partial output never cached, hung converter times out") {
+    import graft.sources.SourceResolver
+    import graft.sources.SourceResolver._
+    val dir = java.nio.file.Paths.get("target/fixtures/convfail")
+    java.nio.file.Files.createDirectories(dir)
+    // converter that writes garbage THEN fails: outPath must stay absent so a
+    // later (fixed) run reconverts instead of resolving from the poisoned cache
+    val bad = dir.resolve("bad_convert.sh")
+    java.nio.file.Files.write(bad, "#!/bin/sh\necho garbage > \"$2\"\nexit 3\n".getBytes("UTF-8"))
+    bad.toFile.setExecutable(true)
+    val out = dir.resolve("cached.json").toString
+    new java.io.File(out).delete()
+    val src = ConvertedSource(ontPath, "owl", Seq("sh", bad.toString, "{in}", "{out}"), out)
+    val res = SourceResolver.resolve(spark, Seq(src))
+    assert(res.graphs.isEmpty)
+    assert(res.messages.exists(_.contains("exited 3")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)),
+      "failed conversion must not populate the cache")
+    // same slot, converter fixed → reconverts fine (cache was not poisoned)
+    val good = dir.resolve("good_convert.sh")
+    java.nio.file.Files.write(good, "#!/bin/sh\ncp \"$1\" \"$2\"\n".getBytes("UTF-8"))
+    good.toFile.setExecutable(true)
+    val res2 = SourceResolver.resolve(spark,
+      Seq(ConvertedSource(ontPath, "owl", Seq("sh", good.toString, "{in}", "{out}"), out)))
+    assert(res2.graphs.exists(_.count() > 0))
+    // hung converter: killed at timeoutSec, recorded, no cache entry
+    val hang = dir.resolve("hang_convert.sh")
+    java.nio.file.Files.write(hang, "#!/bin/sh\nsleep 60\n".getBytes("UTF-8"))
+    hang.toFile.setExecutable(true)
+    val out2 = dir.resolve("hung.json").toString
+    val t0 = System.nanoTime()
+    val res3 = SourceResolver.resolve(spark, Seq(
+      ConvertedSource(ontPath, "owl", Seq("sh", hang.toString, "{in}", "{out}"), out2,
+        timeoutSec = 1L)))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "timeout must cut the wait")
+    assert(res3.messages.exists(_.contains("timed out")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out2)))
   }
 
   test("ANN bucketed storage: partition-pruned probes, same results as in-memory path") {
