@@ -177,18 +177,31 @@ object Bench {
     // min of two runs per query: single-shot numbers on this shared VM carry
     // JIT/GC/codegen noise of up to 3x (q_closure measured 4s and 13s across
     // otherwise-identical rounds)
+    // a crashing query must NOT be timed as a fast success (a regression
+    // could masquerade as a speedup): its entry carries an "err" marker and
+    // is excluded from the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
-        try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { fn(spark1, sfDir).count(); None }
+          catch { case t: Throwable => Some(t.toString) }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> math.min(once(), once())
+      val (t1, e1) = once()
+      val (t2, e2) = once()
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     spark1.stop()
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jsonSafe(s: String): String =
+      s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+    val qs = results.map {
+      case (k, v, None) => f""""$k":$v%.3f"""
+      case (k, v, Some(e)) => f""""$k":{"sec":$v%.3f,"err":"${jsonSafe(e)}"}"""
+    }.mkString("{", ",", "}")
+    val nErrs = results.count(_._3.isDefined)
+    val total = results.collect { case (_, v, None) => v }.sum
     val scaling =
       f"""{"protocol":"N vs 4N cores on the same seed-fixed conv_id-bucketed parquet corpus (Iceberg layout, written once outside timing): headline = local[2] vs local[8] (per-core DRAM bandwidth constant, as when a cluster adds executors); local[8] vs local[32] saturates the single box's shared memory controller and is reported as efficiency_8_32 (roofline decomposition in BASELINE.md). Interleaved fresh-session rounds, min of passes, stability-terminated",""" +
         f""""n_turns":${turns(8)},"n_triples":${triples(8)},""" +
@@ -199,7 +212,8 @@ object Bench {
         f""""efficiency_8_32":$eff832%.3f,""" +
         f""""identical_output":$identical}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_errors":$nErrs,"sf":"$sfDir","scaling":$scaling}"""
     // belt and braces: the driver parses stdout, but sbt log decoration has
     // eaten the line before (round-1 parsed:null) — also persist to a
     // well-known file so the signal always lands.

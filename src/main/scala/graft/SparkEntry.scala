@@ -372,7 +372,19 @@ object SparkEntry {
       graft.operators.MultimodalOps.extractFeatures(
         graft.operators.MultimodalOps.syntheticMedia(s, 200)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"))
-    }))
+    }),
+
+    // --- REAL container decode (round-2 verdict item 2): per-channel pixel
+    // sums of DECODED 24-bit BMPs / sample stats of DECODED PCM16 WAVs. The
+    // oracle recomputes the sums from the generation formulas, so padding,
+    // bottom-up row order, BGR order, header offsets and chunk walking are
+    // all value-checked; exact integer sums → hash-exact compare.
+    "q_media_bmp" -> ((s, _) =>
+      graft.operators.MultimodalOps.imageStats(
+        graft.operators.MultimodalOps.syntheticMediaContainers(s, 120)).toDF()),
+    "q_media_wav" -> ((s, _) =>
+      graft.operators.MultimodalOps.audioStats(
+        graft.operators.MultimodalOps.syntheticMediaContainers(s, 120)).toDF()))
 
   // ---------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — one per SQL-expressible query above
@@ -466,7 +478,15 @@ object SparkEntry {
 
     // positional word-boundary matching on engine-normalized text (NOT a
     // regex on raw text: that neither folds [-_\s]+ runs like the engine nor
-    // survives regex metacharacters in lexicon terms)
+    // survives regex metacharacters in lexicon terms).
+    //
+    // Boundary class: [\p{L}\p{Nd}] — RE2's Unicode letter/decimal-digit
+    // categories, matching the engine's Character.isLetterOrDigit for the
+    // whole BMP (supplementary-plane codepoints differ and are out of the
+    // fixtures' scope). The oracle's lex CTE emits ALL (term, curie) pairs
+    // while the engine grounds top-1 per pattern — equivalent ONLY because
+    // the fixture lexicon has no cross-concept normalized-text collisions,
+    // asserted by PipelineSpec "oracle soundness".
     "q_pipeline_triples" ->
       s"""WITH transcripts AS ($T),
          |t AS (SELECT conv_id, turn_idx,
@@ -481,9 +501,9 @@ object SparkEntry {
          |  FROM t, lex,
          |       LATERAL (SELECT unnest(range(1, length(t.norm) - length(lex.term) + 2)) AS i) gs
          |  WHERE substr(t.norm, i, length(term)) = term
-         |    AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[a-z0-9]'))
+         |    AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[\\p{L}\\p{Nd}]'))
          |    AND (i + length(term) > length(t.norm)
-         |         OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[a-z0-9]')))
+         |         OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[\\p{L}\\p{Nd}]')))
          |SELECT DISTINCT 'turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS subj,
          |       'ex:mentions' AS pred, curie AS obj
          |FROM mentions
@@ -724,9 +744,9 @@ object SparkEntry {
          |FROM t, lex,
          |     LATERAL (SELECT unnest(range(1, length(t.norm) - length(lex.term) + 2)) AS i) gs
          |WHERE substr(t.norm, i, length(term)) = term
-         |  AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[a-z0-9]'))
+         |  AND (i = 1 OR NOT regexp_matches(substr(t.norm, i - 1, 1), '[\\p{L}\\p{Nd}]'))
          |  AND (i + length(term) > length(t.norm)
-         |       OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[a-z0-9]'))""".stripMargin,
+         |       OR NOT regexp_matches(substr(t.norm, i + length(term), 1), '[\\p{L}\\p{Nd}]'))""".stripMargin,
 
     "q_media_features" ->
       """SELECT CAST(i AS BIGINT) AS media_id,
@@ -734,6 +754,34 @@ object SparkEntry {
         |       ELSE 'video' END AS kind,
         |  CAST(4096 AS INT) AS n_bytes
         |FROM range(0, 200) t(i)""".stripMargin,
+
+    // formulas mirrored from MultimodalOps.syntheticMediaContainers — the
+    // engine side encodes the BMP/WAV container and decodes it back; the
+    // oracle derives the decoded sums directly, pinning the codec round-trip
+    "q_media_bmp" ->
+      """SELECT CAST(id AS BIGINT) AS media_id,
+        |       CAST(13 + (id % 7) * 5 AS INT) AS width,
+        |       CAST(8 + (id % 5) * 6 AS INT) AS height,
+        |       CAST(SUM((x * 7 + y * 3 + id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((x * 5 + y * 11 + 2 * id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((x + y + 3 * id) % 256) AS BIGINT) AS sum_b
+        |FROM range(0, 120) t(id)
+        |CROSS JOIN range(0, 43) xs(x)
+        |CROSS JOIN range(0, 32) ys(y)
+        |WHERE id % 3 = 0
+        |  AND x < 13 + (id % 7) * 5 AND y < 8 + (id % 5) * 6
+        |GROUP BY id""".stripMargin,
+
+    "q_media_wav" ->
+      """SELECT CAST(id AS BIGINT) AS media_id,
+        |       CAST(8000 + (id % 5) * 2000 AS INT) AS sample_rate,
+        |       CAST(50 + (id % 10) * 25 AS INT) AS n_samples,
+        |       CAST(SUM((i * 37 + id * 101) % 4001 - 2000) AS BIGINT) AS sum_samples,
+        |       CAST(MAX((i * 37 + id * 101) % 4001 - 2000) AS INT) AS max_sample
+        |FROM range(0, 120) t(id)
+        |CROSS JOIN range(0, 275) ii(i)
+        |WHERE id % 3 = 1 AND i < 50 + (id % 10) * 25
+        |GROUP BY id""".stripMargin,
 
     // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane
     // buckets from inlined plane literals, then applies the same candidate

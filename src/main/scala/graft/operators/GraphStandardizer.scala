@@ -36,13 +36,17 @@ object GraphStandardizer {
         col("node.lbl").as("label"),
         col("node.type").as("node_type"),
         coalesce(col("node.meta.deprecated"), lit(false)).as("deprecated"),
-        // P5 correction folded in: synonym text = coalesce(val, lbl)
+        // P5 corrections folded in: synonym text = coalesce(val, lbl);
+        // synonymType carried through into the standardized struct
         transform(coalesce(col("node.meta.synonyms"), array()), s => struct(
           coalesce(s.getField("val"), s.getField("lbl")).as("text"),
           normalize_predicate(coalesce(s.getField("pred"), lit("hasRelatedSynonym")), converter).as("predicate"),
+          s.getField("synonymType").as("synonymType"),
           coalesce(s.getField("xrefs"), array().cast("array<string>")).as("xrefs"))).as("synonyms"),
+        // P5: xref value spelled `val` or `value` in the wild
         transform(coalesce(col("node.meta.xrefs"), array()),
-          x => standardize_id(x.getField("val"), converter)).as("xrefs"))
+          x => standardize_id(coalesce(x.getField("val"), x.getField("value")), converter))
+          .as("xrefs"))
       .filter(col("curie").isNotNull)
       .withColumn("prefix", substring_index(col("curie"), ":", 1))
       .withColumn("id", expr("substring(curie, length(substring_index(curie, ':', 1)) + 2)"))

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary` payloads
  * with typed metadata, plus decode / feature-extract / frame-sample stages.
  *
- * The Spark-side plumbing (schema, partitioning, batch shape, per-partition
- * decoder reuse) is real and tested; the CODEC ITSELF IS A STUB — this
- * container ships no image/audio libraries, so `decodeStub` derives a
- * deterministic fake feature vector from the payload bytes. Swapping in a
- * real decoder changes ONLY the body of [[MultimodalOps.fakeDecode]]
- * (mapPartitions batch shape, schema and downstream stay identical).
+ * Codec status:
+ *  - BMP (24-bit uncompressed) and WAV (PCM16 mono) are REAL zero-dependency
+ *    decoders ([[decodeBmp]]/[[decodeWav]]) — header parsing, bottom-up row
+ *    order, 4-byte row padding, chunk walking, little-endian samples;
+ *  - every other container (JPEG/FLAC/H.264...) STAYS A STUB — this
+ *    container ships no codec libraries, so [[fakeDecode]] derives a
+ *    deterministic fake feature vector from the payload bytes. Swapping in a
+ *    real decoder means adding a sniff branch in [[extractFeatures]]
+ *    (mapPartitions batch shape, schema and downstream stay identical).
  */
 object MultimodalOps {
 
@@ -40,10 +43,145 @@ object MultimodalOps {
     }
   }
 
+  // -------------------------------------------------------------------------
+  // real zero-dependency codecs: BMP (24-bit BI_RGB) and WAV (PCM16 mono)
+  // -------------------------------------------------------------------------
+
+  /** Decoded image: pixels row-major TOP-DOWN, 3 bytes/pixel in R,G,B order. */
+  final case class BmpImage(width: Int, height: Int, rgb: Array[Byte])
+  /** Decoded audio: PCM16 samples as Ints in [-32768, 32767]. */
+  final case class WavAudio(sampleRate: Int, samples: Array[Int])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte; b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+  def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == 'F'.toByte && b(8) == 'W'.toByte &&
+      b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** 24-bit bottom-up BI_RGB BMP. `rgb(x, y)` is queried top-down; rows are
+    * written bottom-up with BGR byte order and 4-byte padding, per spec. */
+  def encodeBmp(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putLe32(out, 2, out.length); putLe32(out, 10, 54)
+    putLe32(out, 14, 40) // BITMAPINFOHEADER
+    putLe32(out, 18, width); putLe32(out, 22, height) // positive = bottom-up
+    putLe16(out, 26, 1); putLe16(out, 28, 24); putLe32(out, 30, 0) // planes/bpp/BI_RGB
+    putLe32(out, 34, dataSize)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        out(rowOff + x * 3) = b.toByte
+        out(rowOff + x * 3 + 1) = g.toByte
+        out(rowOff + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bit uncompressed BMP: honors the header's pixel-data offset,
+    * positive (bottom-up) and negative (top-down) heights, and row padding. */
+  def decodeBmp(b: Array[Byte]): BmpImage = {
+    require(isBmp(b), "not a BMP payload")
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val rawH = le32(b, 22)
+    val height = math.abs(rawH)
+    val topDown = rawH < 0
+    require(le16(b, 28) == 24, s"unsupported bpp ${le16(b, 28)} (24-bit only)")
+    require(le32(b, 30) == 0, "unsupported compression (BI_RGB only)")
+    val rowBytes = (width * 3 + 3) & ~3
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOff + (if (topDown) y else height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        rgb((y * width + x) * 3) = b(srcRow + x * 3 + 2)     // R
+        rgb((y * width + x) * 3 + 1) = b(srcRow + x * 3 + 1) // G
+        rgb((y * width + x) * 3 + 2) = b(srcRow + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, rgb)
+  }
+
+  /** Mono PCM16 WAV container around the given samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes.copyToArray(out, 0)
+    putLe32(out, 4, 36 + dataSize)
+    "WAVEfmt ".getBytes.copyToArray(out, 8)
+    putLe32(out, 16, 16) // fmt chunk size
+    putLe16(out, 20, 1) // PCM
+    putLe16(out, 22, 1) // mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2) // byte rate
+    putLe16(out, 32, 2) // block align
+    putLe16(out, 34, 16) // bits/sample
+    "data".getBytes.copyToArray(out, 36)
+    putLe32(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) { putLe16(out, 44 + i * 2, samples(i) & 0xFFFF); i += 1 }
+    out
+  }
+
+  /** Walk RIFF chunks (odd sizes pad to even, unknown chunks skipped — e.g.
+    * LIST/INFO before data) to the fmt + data chunks; PCM16 mono only. */
+  def decodeWav(b: Array[Byte]): WavAudio = {
+    require(isWav(b), "not a WAV payload")
+    var off = 12
+    var rate = -1
+    var samples: Array[Int] = null
+    while (off + 8 <= b.length && (rate < 0 || samples == null)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(b, off + 4)
+      if (id == "fmt ") {
+        require(le16(b, off + 8) == 1, "unsupported WAV encoding (PCM only)")
+        require(le16(b, off + 10) == 1, "unsupported channel count (mono only)")
+        require(le16(b, off + 22) == 16, "unsupported bit depth (16-bit only)")
+        rate = le32(b, off + 12)
+      } else if (id == "data") {
+        val n = size / 2
+        samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (le16(b, off + 8 + i * 2) << 16) >> 16 // sign-extend
+          i += 1
+        }
+      }
+      off += 8 + size + (size & 1) // chunks pad to even length
+    }
+    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    WavAudio(rate, samples)
+  }
+
   /**
-   * STUB decode: a real implementation would decode the codec here (JPEG/
-   * FLAC/H.264) — everything around it (mapPartitions batching, per-partition
-   * decoder state, output schema) is the production shape.
+   * STUB decode for containers WITHOUT a real decoder here (JPEG/FLAC/
+   * H.264...) — everything around it (mapPartitions batching, per-partition
+   * decoder state, output schema) is the production shape. BMP/WAV payloads
+   * never reach this: [[extractFeatures]] sniffs magic bytes first.
    */
   def fakeDecode(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     // deterministic byte-histogram "embedding" standing in for decoded features
@@ -57,13 +195,131 @@ object MultimodalOps {
     hist.map(_ / norm)
   }
 
-  /** Feature extraction: per-partition decoder, payload never shuffled after. */
+  /**
+   * Deterministic synthetic media with REAL containers: image rows are valid
+   * 24-bit BMPs, audio rows valid PCM16 WAVs, each generated from the
+   * closed-form formulas below (the DuckDB oracle recomputes the DECODED
+   * channel/sample sums from the same formulas — a mismatch anywhere in the
+   * container round-trip fails the gate); video rows stay opaque seeded
+   * bytes (the declared stub boundary).
+   *
+   * Formulas (mirrored verbatim in SparkEntry's q_media_bmp / q_media_wav
+   * oracles — change together):
+   *   image (id%3==0): w = 13+(id%7)*5, h = 8+(id%5)*6,
+   *     r=(x*7+y*3+id)%256, g=(x*5+y*11+2*id)%256, b=(x+y+3*id)%256
+   *   audio (id%3==1): rate = 8000+(id%5)*2000, n = 50+(id%10)*25,
+   *     sample(i) = (i*37 + id*101) % 4001 - 2000
+   */
+  def syntheticMediaContainers(spark: SparkSession, n: Long): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val w = (13 + (id % 7) * 5).toInt
+            val h = (8 + (id % 5) * 6).toInt
+            val payload = encodeBmp(w, h, (x, y) => (
+              ((x * 7 + y * 3 + id) % 256).toInt,
+              ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+              ((x + y + 3 * id) % 256).toInt))
+            Media(id, "image", payload, w, h, 0, 0)
+          case 1 =>
+            val rate = (8000 + (id % 5) * 2000).toInt
+            val nSamp = (50 + (id % 10) * 25).toInt
+            val samples = Array.tabulate(nSamp)(i => ((i * 37 + id * 101) % 4001 - 2000).toInt)
+            Media(id, "audio", encodeWavPcm16(rate, samples), 0, 0, rate,
+              nSamp * 1000L / rate)
+          case _ =>
+            val rng = new scala.util.Random(42L + id)
+            val payload = new Array[Byte](2048)
+            rng.nextBytes(payload)
+            Media(id, "video", payload, 0, 0, 0, 1000 + id % 9000)
+        }
+      }
+    }
+  }
+
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+  final case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Int,
+                              sum_samples: Long, max_sample: Int)
+
+  /** REAL decode path: per-channel pixel sums of every BMP payload. Integer
+    * sums, so the oracle compare is exact (no float hashing). */
+  def imageStats(media: Dataset[Media]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = decodeBmp(m.payload)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.rgb.length) {
+        sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
+        i += 3
+      }
+      ImageStats(m.media_id, img.width, img.height, sr, sg, sb)
+    })
+  }
+
+  /** REAL decode path: sample statistics of every WAV payload. */
+  def audioStats(media: Dataset[Media]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+      val wav = decodeWav(m.payload)
+      var sum = 0L
+      var max = Int.MinValue
+      var i = 0
+      while (i < wav.samples.length) {
+        sum += wav.samples(i); if (wav.samples(i) > max) max = wav.samples(i); i += 1
+      }
+      AudioStats(m.media_id, wav.sampleRate, wav.samples.length, sum, max)
+    })
+  }
+
+  /** Feature extraction: per-partition decoder, payload never shuffled after.
+    * BMP/WAV payloads get REAL decoded features (dims/channel means, rate/
+    * sample stats); other containers fall to the [[fakeDecode]] stub. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (real codecs are expensive to open)
-      it.map(m => MediaFeatures(m.media_id, m.kind, m.payload.length, fakeDecode(m.payload, dim)))
+      it.map { m =>
+        // sniff-then-decode is DEFENSIVE: magic bytes can collide (any blob
+        // starting "BM"/"RIFF"), and one malformed container must not kill a
+        // corpus-scale job — decode failures fall back to the stub features
+        val feats = try {
+          if (isBmp(m.payload)) {
+            val img = decodeBmp(m.payload)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < img.rgb.length) {
+              sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
+              i += 3
+            }
+            val nPix = (img.width * img.height).toFloat max 1f
+            val f = new Array[Float](dim)
+            f(0) = img.width.toFloat; f(1) = img.height.toFloat
+            f(2) = sr / nPix; f(3) = sg / nPix; f(4) = sb / nPix
+            f
+          } else if (isWav(m.payload)) {
+            val wav = decodeWav(m.payload)
+            val n = wav.samples.length max 1
+            var sum = 0L
+            var sq = 0.0
+            wav.samples.foreach { s => sum += s; sq += s.toDouble * s }
+            val f = new Array[Float](dim)
+            f(0) = wav.sampleRate.toFloat; f(1) = wav.samples.length.toFloat
+            f(2) = (sum.toDouble / n).toFloat; f(3) = math.sqrt(sq / n).toFloat
+            f
+          } else fakeDecode(m.payload, dim)
+        } catch {
+          case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+            fakeDecode(m.payload, dim)
+        }
+        MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
+      }
     }
   }
 

@@ -76,6 +76,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("simhash"), "signature subtree recomputed in final plan")
   }
 
+  test("BMP decode: hand-assembled golden bytes (padding, bottom-up, BGR, top-down variant)") {
+    // independent byte-level construction — does NOT go through encodeBmp, so
+    // a matching encoder/decoder bug pair cannot cancel out
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def bmp(height: Int, rows: Array[Byte]) =
+      "BM".getBytes ++ le32(54 + rows.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(height) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(rows.length) ++ new Array[Byte](16) ++ rows
+    // 2x2, rowBytes = 8 (2 pad bytes); pixels top-down:
+    // (0,0)=R255 (1,0)=G255 / (0,1)=B255 (1,1)=(10,20,30)
+    val bottomUpRows = Array[Byte]( // file stores y=1 first
+      -1, 0, 0, 30, 20, 10, 0, 0, // y=1: BGR(255,0,0)=blue px, BGR(30,20,10)
+      0, 0, -1, 0, -1, 0, 0, 0) // y=0: BGR(0,0,255)=red px, BGR(0,255,0)=green px
+    val img = MultimodalOps.decodeBmp(bmp(2, bottomUpRows))
+    assert((img.width, img.height) == (2, 2))
+    assert(img.rgb.map(_ & 0xFF).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, // top row: red, green
+      0, 0, 255, 10, 20, 30)) // bottom row: blue, (10,20,30)
+    // negative height = top-down storage: same pixels, rows NOT flipped
+    val topDownRows = Array[Byte](
+      0, 0, -1, 0, -1, 0, 0, 0,
+      -1, 0, 0, 30, 20, 10, 0, 0)
+    val img2 = MultimodalOps.decodeBmp(bmp(-2, topDownRows))
+    assert(img2.rgb.toSeq == img.rgb.toSeq)
+    // encoder round-trips through the decoder
+    val rt = MultimodalOps.decodeBmp(MultimodalOps.encodeBmp(5, 3,
+      (x, y) => (x * 40, y * 70, x + y)))
+    assert(rt.width == 5 && rt.height == 3)
+    assert((rt.rgb(3 * (1 * 5 + 2)) & 0xFF) == 80) // pixel (2,1).R = 2*40
+  }
+
+  test("WAV decode: golden bytes with unknown chunk skipped; sign-extension; round-trip") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = le16(0) ++ le16(0xFFFF) ++ le16(32767) ++ le16(0x8000) // 0, -1, 32767, -32768
+    val golden = "RIFF".getBytes ++ le32(4 + 8 + 3 + 1 + 8 + 16 + 8 + data.length) ++
+      "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(3) ++ "abc".getBytes ++ Array[Byte](0) ++ // odd size → pad byte
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(22050) ++
+      le32(44100) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val wav = MultimodalOps.decodeWav(golden)
+    assert(wav.sampleRate == 22050)
+    assert(wav.samples.toSeq == Seq(0, -1, 32767, -32768))
+    val rt = MultimodalOps.decodeWav(
+      MultimodalOps.encodeWavPcm16(8000, Array(-2000, 0, 1999, -32768, 32767)))
+    assert(rt.sampleRate == 8000 && rt.samples.toSeq == Seq(-2000, 0, 1999, -32768, 32767))
+  }
+
   test("centroid_ids: NaN embedding degrades deterministically, bad type fails analysis") {
     val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(20.0, 20.0))
     val df = Seq(

@@ -326,6 +326,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(planTxt.contains("PartitionFilters: [bucket"), planTxt.take(2000))
   }
 
+  test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
+    // q_pipeline_triples' oracle emits ALL distinct (normalized term, curie)
+    // rows while the engine grounds top-1 per pattern; the two agree only
+    // while no two lexicon entries normalize to the same text but different
+    // CURIEs — pin that property so a fixture edit can't silently break the
+    // equivalence (ADVICE round-2)
+    val norm = MiniOntology.expectedLexicon.map { case (t, c) =>
+      (t.toLowerCase.replaceAll("[-_\\s]+", " ").trim, c)
+    }
+    val collisions = norm.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+    assert(collisions.isEmpty, s"colliding lexicon texts: $collisions")
+  }
+
   test("driver contract: every query has an oracle, every oracle names a real query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -181,6 +181,61 @@ class StandardizeSpec extends AnyFunSuite {
     assert(m("BBB:2") == "AAA:1")
   }
 
+  test("P5 raw-document correction: value-for-val, synonymType, edge meta, logicalDefinitionAxioms") {
+    val json =
+      """{"graphs":[{"id":"http://purl.obolibrary.org/obo/pato.owl",
+        |  "meta":{"basicPropertyValues":[
+        |    {"pred":"http://www.w3.org/2002/07/owl#versionIRI",
+        |     "value":"http://purl.obolibrary.org/obo/pato/releases/2099-01-01/pato.owl"}]},
+        |  "nodes":[
+        |    {"id":"http://purl.obolibrary.org/obo/PATO_0000001","lbl":"quality",
+        |     "meta":{"xrefs":[{"value":"PATO:0000999"}],
+        |             "synonyms":[{"val":"trait","pred":"hasExactSynonym",
+        |                          "synonymType":"http://purl.obolibrary.org/obo/OMO_0003000"}]}}],
+        |  "edges":[
+        |    {"sub":"http://purl.obolibrary.org/obo/PATO_0000001","pred":"is_a",
+        |     "obj":"http://purl.obolibrary.org/obo/PATO_0000002","meta":null},
+        |    {"sub":"http://purl.obolibrary.org/obo/PATO_0000003","pred":"is_a",
+        |     "obj":"http://purl.obolibrary.org/obo/PATO_0000001",
+        |     "meta":{"basicPropertyValues":[{"pred":"source","value":"curated"}]}}],
+        |  "logicalDefinitionAxioms":[
+        |    {"definedClassId":"http://purl.obolibrary.org/obo/PATO_0000003",
+        |     "genusIds":["http://purl.obolibrary.org/obo/PATO_0000001"],
+        |     "restrictions":[{"propertyId":"http://purl.obolibrary.org/obo/RO_1",
+        |                      "fillerId":"http://purl.obolibrary.org/obo/PATO_0000002"}]}]}]}
+        |""".stripMargin
+    val p = java.nio.file.Paths.get("target/fixtures/p5_deviations.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    val g = OboGraphReader.readGraphs(spark, p.toString)
+
+    // versionIRI property value spelled `value` still yields the version
+    val ver = g.select(OboGraphReader.versionColumn.as("v")).collect()(0).getString(0)
+    assert(ver.contains("2099-01-01"))
+
+    val n = GraphStandardizer.standardizeNodes(g, conv, Some("PATO")).collect()(0)
+    // xref spelled `value` standardized like `val`
+    assert(n.getSeq[String](n.fieldIndex("xrefs")) == Seq("PATO:0000999"))
+    // synonymType passes through into the standardized synonym struct
+    val syn = n.getSeq[org.apache.spark.sql.Row](n.fieldIndex("synonyms")).head
+    assert(syn.getAs[String]("text") == "trait")
+    assert(syn.getAs[String]("synonymType") == "http://purl.obolibrary.org/obo/OMO_0003000")
+
+    // edges with null or populated meta standardize identically (meta carried, unconsumed)
+    val e = GraphStandardizer.standardizeEdges(g, conv)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(e == Set(
+      ("PATO:0000001", graft.model.Vocab.SubClassOf, "PATO:0000002"),
+      ("PATO:0000003", graft.model.Vocab.SubClassOf, "PATO:0000001")))
+
+    // logicalDefinitionAxioms parsed and carried on the graph row
+    val lda = g.select(explode(col("logicalDefinitionAxioms")).as("l"))
+      .select(col("l.definedClassId"), col("l.genusIds"), col("l.restrictions"))
+      .collect()(0)
+    assert(lda.getString(0).endsWith("PATO_0000003"))
+    assert(lda.getSeq[String](1).head.endsWith("PATO_0000001"))
+  }
+
   test("connected components: >50-diameter chain converges (O(log n) star rounds)") {
     // a 400-node path — plain min-label propagation needs ~400 rounds and
     // would have returned silently-truncated labels at maxIter=50 (round-2
