@@ -55,7 +55,11 @@ object Bench {
     val s = newSession(32)
     val df = Transcripts.synthetic(s, nConvs)
     df.repartition(CorpusBuckets, org.apache.spark.sql.functions.col("conv_id"))
-      .write.mode("overwrite").parquet(CorpusPath)
+      // zstd over snappy: measured (CodecProbe, round 3) 551→328 MB corpus,
+      // 2.45→2.17 s at local[32] and eff_8_32 0.70→0.80 — in the saturated
+      // shared-DRAM band, fewer bytes through the memory controller beats
+      // cheaper per-byte decode (and zstd is the common Iceberg table codec)
+      .write.mode("overwrite").option("compression", "zstd").parquet(CorpusPath)
     val n = s.read.parquet(CorpusPath).count()
     s.stop()
     n

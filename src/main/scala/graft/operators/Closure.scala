@@ -91,7 +91,8 @@ object Closure {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
 
     var iter = 0
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0
     while (!converged && iter < maxIter) {
       // large-star(u): m = min(Γ(u) ∪ {u}); hook every neighbor v > u to m.
       // Both emitted endpoints differ (m ≤ u < v) so orientation is preserved.
@@ -112,12 +113,15 @@ object Closure {
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint(true)
 
-      // fixpoint test: the star forest is stable under both ops. Two narrow
-      // anti-join probes on checkpointed, near-dup-sized edge lists.
-      converged =
-        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
-          e.join(next, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      // fixpoint test, EXACT but cheap: both sets are distinct, so
+      // |next| == |e| and next\e == ∅ together imply next == e. The count is
+      // nearly free on the just-checkpointed rows and usually differs, so the
+      // anti-join probe only runs on candidate-converged rounds.
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -254,6 +254,22 @@ class StandardizeSpec extends AnyFunSuite {
     assert(selfOnly == Map("X:1" -> "X:1", "A:1" -> "A:1", "B:2" -> "A:1"))
   }
 
+  test("connected components: star algorithm == driver union-find on random graphs") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 800
+      val edges = (0 until 1200).map { _ =>
+        (f"V${rng.nextInt(n)}%04d", f"V${rng.nextInt(n)}%04d")
+      }
+      val got = Closure.connectedComponents(
+          spark.createDataFrame(edges).toDF("a", "b"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = graft.operators.DriverUnionFind.components(edges.iterator)(
+        (x: String, y: String) => if (x <= y) x else y)
+      assert(got == want, s"seed=$seed mismatch: ${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
   test("connected components: non-convergence fails loudly, never wrong labels") {
     val chain = spark.createDataFrame(
       (0 until 64).map(i => (f"N$i%05d", f"N${i + 1}%05d"))).toDF("a", "b")
