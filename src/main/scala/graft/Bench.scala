@@ -198,8 +198,10 @@ object Bench {
     }
     spark1.stop()
 
+    // strips EVERY control char (not just \n\r\t): a raw 0x00-0x1F anywhere in
+    // an exception message would make the single contract stdout line invalid JSON
     def jsonSafe(s: String): String =
-      s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
     val qs = results.map {
       case (k, v, None) => f""""$k":$v%.3f"""
       case (k, v, Some(e)) => f""""$k":{"sec":$v%.3f,"err":"${jsonSafe(e)}"}"""

@@ -326,9 +326,10 @@ object SparkEntry {
       graft.sources.OboGraphReader.squeezeGraph(graphs, Some("pato"))
         .select(col("graph_lbl"),
           graft.sources.OboGraphReader.versionColumn.as("version"),
-          element_at(filter(col("meta.basicPropertyValues"),
-            b => b.getField("pred").contains("hasDefaultNamespace")), 1)
-            .getField("val").as("default_namespace"))
+          graft.sources.OboGraphReader.propertyValue(
+            element_at(filter(col("meta.basicPropertyValues"),
+              b => b.getField("pred").contains("hasDefaultNamespace")), 1))
+            .as("default_namespace"))
     }),
 
     // --- S6: cascading source resolution with recorded diagnostics

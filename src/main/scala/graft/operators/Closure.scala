@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.InternalRowShim
 
 /**
  * Iterative graph closures (SURVEY T2, J3) as driver-coordinated loops of
@@ -50,10 +51,17 @@ object Closure {
         // only genuinely new nodes continue (cycle-safe, termination guaranteed)
         .join(acc, Seq("curie"), "left_anti")
         .localCheckpoint(true)
-      acc = acc.unionByName(next).localCheckpoint(true)
+      val newAcc = acc.unionByName(next).localCheckpoint(true)
+      // superseded checkpoints are dead weight (eager checkpoints cut lineage,
+      // so newAcc/next no longer read them) — release, don't pin O(rounds) copies
+      InternalRowShim.unpersistCheckpoint(acc)
+      InternalRowShim.unpersistCheckpoint(frontier)
+      acc = newAcc
       frontier = next
       nonEmpty = frontier.limit(1).count() > 0
     }
+    InternalRowShim.unpersistCheckpoint(frontier) // folded into acc already
+    InternalRowShim.unpersistCheckpoint(edges)
     acc.distinct()
   }
 
@@ -120,6 +128,11 @@ object Closure {
       val nextCount = next.count()
       converged = nextCount == eCount &&
         next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      // `next` is eagerly checkpointed, so the superseded edge set and the
+      // round-local large-star list can be released — without this a deep run
+      // pins O(rounds) copies of the edge set in executor storage
+      InternalRowShim.unpersistCheckpoint(e)
+      InternalRowShim.unpersistCheckpoint(large)
       e = next
       eCount = nextCount
       iter += 1

@@ -45,7 +45,7 @@ object GraphStandardizer {
           coalesce(s.getField("xrefs"), array().cast("array<string>")).as("xrefs"))).as("synonyms"),
         // P5: xref value spelled `val` or `value` in the wild
         transform(coalesce(col("node.meta.xrefs"), array()),
-          x => standardize_id(coalesce(x.getField("val"), x.getField("value")), converter))
+          x => standardize_id(graft.sources.OboGraphReader.propertyValue(x), converter))
           .as("xrefs"))
       .filter(col("curie").isNotNull)
       .withColumn("prefix", substring_index(col("curie"), ":", 1))

@@ -109,7 +109,13 @@ object MultimodalOps {
     val topDown = rawH < 0
     require(le16(b, 28) == 24, s"unsupported bpp ${le16(b, 28)} (24-bit only)")
     require(le32(b, 30) == 0, "unsupported compression (BI_RGB only)")
+    // header fields are UNTRUSTED: bound every allocation/read against the
+    // actual payload before sizing arrays (Long math — width*height can
+    // overflow Int for hostile headers)
     val rowBytes = (width * 3 + 3) & ~3
+    require(width > 0 && height > 0 && dataOff >= 54 &&
+      dataOff.toLong + rowBytes.toLong * height <= b.length,
+      s"BMP header inconsistent with payload (${width}x$rawH, off=$dataOff, len=${b.length})")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -157,7 +163,12 @@ object MultimodalOps {
     while (off + 8 <= b.length && (rate < 0 || samples == null)) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = le32(b, off + 4)
+      // chunk size is UNTRUSTED: negative or oversized values would stall the
+      // walk (off never advances) or allocate beyond the payload — fail instead
+      require(size >= 0 && off.toLong + 8 + size <= b.length,
+        s"WAV chunk '$id' size $size inconsistent with payload (off=$off, len=${b.length})")
       if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too short ($size)")
         require(le16(b, off + 8) == 1, "unsupported WAV encoding (PCM only)")
         require(le16(b, off + 10) == 1, "unsupported channel count (mono only)")
         require(le16(b, off + 22) == 16, "unsupported bit depth (16-bit only)")
@@ -244,6 +255,32 @@ object MultimodalOps {
   final case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Int,
                               sum_samples: Long, max_sample: Int)
 
+  /** Per-channel pixel sums of a decoded image (single source of truth for
+    * the stats Dataset and the feature branch). */
+  private def channelSums(img: BmpImage): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < img.rgb.length) {
+      sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
+      i += 3
+    }
+    (sr, sg, sb)
+  }
+
+  /** (sum, sum-of-squares, max) over decoded PCM samples. */
+  private def sampleStats(wav: WavAudio): (Long, Double, Int) = {
+    var sum = 0L
+    var sq = 0.0
+    var max = Int.MinValue
+    var i = 0
+    while (i < wav.samples.length) {
+      val s = wav.samples(i)
+      sum += s; sq += s.toDouble * s; if (s > max) max = s
+      i += 1
+    }
+    (sum, sq, max)
+  }
+
   /** REAL decode path: per-channel pixel sums of every BMP payload. Integer
     * sums, so the oracle compare is exact (no float hashing). */
   def imageStats(media: Dataset[Media]): Dataset[ImageStats] = {
@@ -251,12 +288,7 @@ object MultimodalOps {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = decodeBmp(m.payload)
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var i = 0
-      while (i < img.rgb.length) {
-        sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
-        i += 3
-      }
+      val (sr, sg, sb) = channelSums(img)
       ImageStats(m.media_id, img.width, img.height, sr, sg, sb)
     })
   }
@@ -267,12 +299,7 @@ object MultimodalOps {
     import spark.implicits._
     media.filter(_.kind == "audio").mapPartitions(_.map { m =>
       val wav = decodeWav(m.payload)
-      var sum = 0L
-      var max = Int.MinValue
-      var i = 0
-      while (i < wav.samples.length) {
-        sum += wav.samples(i); if (wav.samples(i) > max) max = wav.samples(i); i += 1
-      }
+      val (sum, _, max) = sampleStats(wav)
       AudioStats(m.media_id, wav.sampleRate, wav.samples.length, sum, max)
     })
   }
@@ -281,6 +308,9 @@ object MultimodalOps {
     * BMP/WAV payloads get REAL decoded features (dims/channel means, rate/
     * sample stats); other containers fall to the [[fakeDecode]] stub. */
   def extractFeatures(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
+    // validated OUTSIDE the defensive try: a bad dim is a caller bug (would
+    // otherwise masquerade as "corrupt payload" and silently disable decoding)
+    require(dim >= 5, s"dim must be >= 5 to hold the decoded feature slots (got $dim)")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -288,16 +318,11 @@ object MultimodalOps {
       it.map { m =>
         // sniff-then-decode is DEFENSIVE: magic bytes can collide (any blob
         // starting "BM"/"RIFF"), and one malformed container must not kill a
-        // corpus-scale job — decode failures fall back to the stub features
+        // corpus-scale job — any decode failure falls back to the stub features
         val feats = try {
           if (isBmp(m.payload)) {
             val img = decodeBmp(m.payload)
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var i = 0
-            while (i < img.rgb.length) {
-              sr += img.rgb(i) & 0xFF; sg += img.rgb(i + 1) & 0xFF; sb += img.rgb(i + 2) & 0xFF
-              i += 3
-            }
+            val (sr, sg, sb) = channelSums(img)
             val nPix = (img.width * img.height).toFloat max 1f
             val f = new Array[Float](dim)
             f(0) = img.width.toFloat; f(1) = img.height.toFloat
@@ -306,17 +331,14 @@ object MultimodalOps {
           } else if (isWav(m.payload)) {
             val wav = decodeWav(m.payload)
             val n = wav.samples.length max 1
-            var sum = 0L
-            var sq = 0.0
-            wav.samples.foreach { s => sum += s; sq += s.toDouble * s }
+            val (sum, sq, _) = sampleStats(wav)
             val f = new Array[Float](dim)
             f(0) = wav.sampleRate.toFloat; f(1) = wav.samples.length.toFloat
             f(2) = (sum.toDouble / n).toFloat; f(3) = math.sqrt(sq / n).toFloat
             f
           } else fakeDecode(m.payload, dim)
         } catch {
-          case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
-            fakeDecode(m.payload, dim)
+          case scala.util.control.NonFatal(_) => fakeDecode(m.payload, dim)
         }
         MediaFeatures(m.media_id, m.kind, m.payload.length, feats)
       }

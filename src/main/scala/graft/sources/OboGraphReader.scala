@@ -133,15 +133,19 @@ object OboGraphReader {
       coalesce(col("graph_id"), lit(sourceIri.orNull).cast(StringType)))
   }
 
+  /** P5 spelling tolerance for property-value structs: in-the-wild documents
+    * carry `value` where the spec says `val`. ONE coalesce point — every
+    * consumer of basicPropertyValues/xref structs must go through this, or a
+    * `value`-spelled document silently yields nulls at that consumer. */
+  def propertyValue(pv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(pv.getField("val"), pv.getField("value"))
+
   /** Graph version: `meta.version` coalesced over basicPropertyValues lookup
     * (P3); property values tolerate the `value` spelling variant (P5). */
   def versionColumn: org.apache.spark.sql.Column = {
     val bpv = element_at(filter(col("meta.basicPropertyValues"),
       b => b.getField("pred").contains("versionIRI")), 1)
-    coalesce(
-      col("meta.version"),
-      bpv.getField("val"),
-      bpv.getField("value"))
+    coalesce(col("meta.version"), propertyValue(bpv))
   }
 
   /** `guess_version` parity (robot.py:77-84): quiet None on ANY failure —

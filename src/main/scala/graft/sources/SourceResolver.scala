@@ -156,7 +156,12 @@ object SourceResolver {
               drain.setDaemon(true)
               drain.start()
               if (!proc.waitFor(s.timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-                proc.destroyForcibly() // a hung converter must not block the sweep
+                // a hung converter must not block the sweep — and converters
+                // are typically wrappers (sh/java launchers), so kill the whole
+                // process tree or the grandchild doing the real work survives,
+                // burning CPU and holding the drain pipe open
+                proc.descendants().forEach(h => { h.destroyForcibly(); () })
+                proc.destroyForcibly()
                 messages += s"[${s.kind}] ${s.path} converter timed out after ${s.timeoutSec}s"
               } else {
                 drain.join(2000)

@@ -20,4 +20,19 @@ object InternalRowShim {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /**
+   * Release the block-manager storage behind a `localCheckpoint`ed Dataset.
+   * `Dataset.unpersist` only covers CacheManager-registered `.cache()` entries;
+   * a local checkpoint persists its RDD directly, reachable only through the
+   * `private[sql]` `LogicalRDD` node. Iterative operators (graft.operators
+   * .Closure) call this on superseded iterations so a long loop doesn't pin
+   * O(rounds) copies of the edge set in executor memory. No-op on Datasets
+   * that aren't checkpoint-backed.
+   */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    logicalPlan(df) match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -126,6 +126,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(rt.sampleRate == 8000 && rt.samples.toSeq == Seq(-2000, 0, 1999, -32768, 32767))
   }
 
+  test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // WAV whose first chunk declares size -8: the old walk advanced off by
+    // 8 + size + pad = 0 forever — must now throw, not spin the executor
+    val stuckWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(-8) ++ new Array[Byte](40)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeWav(stuckWav))
+    // data chunk size larger than the payload must not allocate/read past it
+    val overWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le32(Int.MaxValue) ++ new Array[Byte](40)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeWav(overWav))
+    // BMP with negative width / giant dims: no NegativeArraySizeException or OOM
+    val negBmp = "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(40) ++
+      le32(-1) ++ le32(2) ++ Array[Byte](1, 0, 24, 0) ++ le32(0) ++ new Array[Byte](80)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeBmp(negBmp))
+    val hugeBmp = "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(40) ++
+      le32(30000) ++ le32(30000) ++ Array[Byte](1, 0, 24, 0) ++ le32(0) ++ new Array[Byte](80)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeBmp(hugeBmp))
+    // ...and through extractFeatures every corrupt payload degrades to the
+    // stub histogram instead of killing (or hanging) the corpus job
+    val rows = Seq(
+      MultimodalOps.Media(0L, "audio", stuckWav, 0, 0, 8000, 10),
+      MultimodalOps.Media(1L, "audio", overWav, 0, 0, 8000, 10),
+      MultimodalOps.Media(2L, "image", negBmp, 2, 2, 0, 0),
+      MultimodalOps.Media(3L, "image", hugeBmp, 2, 2, 0, 0))
+    val feats = spark.createDataset(rows).transform(m => MultimodalOps.extractFeatures(m))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 4)
+    feats.foreach { f =>
+      assert(f.features.toSeq == MultimodalOps.fakeDecode(rows(f.media_id.toInt).payload).toSeq)
+    }
+    // a bad dim is a CALLER bug: fails fast, never masquerades as corrupt payloads
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.extractFeatures(spark.createDataset(rows), dim = 3))
+  }
+
   test("centroid_ids: NaN embedding degrades deterministically, bad type fails analysis") {
     val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(20.0, 20.0))
     val df = Seq(

@@ -270,6 +270,18 @@ class StandardizeSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: superseded per-round checkpoints are released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = spark.createDataFrame(
+      (0 until 120).map(i => (f"C$i%05d", f"C${i + 1}%05d"))).toDF("a", "b")
+    val labels = Closure.connectedComponents(chain).collect()
+    assert(labels.forall(_.getString(1) == "C00000"))
+    // only the result-backing checkpoints may remain (node set + final star
+    // forest); every per-round large/next snapshot must have been unpersisted
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"leaked ${leaked.size} checkpointed RDDs across CC rounds")
+  }
+
   test("connected components: non-convergence fails loudly, never wrong labels") {
     val chain = spark.createDataFrame(
       (0 until 64).map(i => (f"N$i%05d", f"N${i + 1}%05d"))).toDF("a", "b")
