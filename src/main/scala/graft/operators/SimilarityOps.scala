@@ -150,4 +150,25 @@ object SimilarityOps {
       .filter(col("bucket").isin(probeBuckets: _*))
     rerank(corpus.join(broadcast(qs), "bucket"), k)
   }
+
+  /** IVF storage path, the list-partitioned twin of [[writeBucketed]]: corpus
+    * written ONCE partitioned by nearest-centroid list, so probe reads prune
+    * at the scan. */
+  def writeIvf(embeddings: DataFrame, index: IvfIndex, path: String): Unit =
+    embeddings.withColumn("list_id", ivfListId(col("embedding"), index))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** IVF ANN over [[writeIvf]] storage: each query's `nprobe` nearest lists
+    * become STATIC partition filters (queries are broadcast-small by
+    * contract), so the scan touches ~nprobe/nLists of the corpus. */
+  def annTopKIvfStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, index: IvfIndex,
+                       k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val qs = queries.withColumn("list_id",
+      explode(graft.functions.CentroidIds(col("qvec"), index.centroids, nprobe)))
+    val probeLists = qs.select("list_id").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(path)
+      .filter(col("list_id").isin(probeLists: _*))
+    rerank(corpus.join(broadcast(qs), "list_id"), k)
+  }
 }
