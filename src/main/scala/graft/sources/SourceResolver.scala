@@ -58,12 +58,17 @@ object SourceResolver {
    * modeled by the two constants below.
    */
   final case class ConvertFlags(check: Boolean = true, reason: Boolean = false,
-                                merge: Boolean = false) {
-    /** ROBOT-style argv rendering, substituted for a `{flags}` command token. */
+                                merge: Boolean = false, debug: Boolean = false,
+                                extraArgs: Seq[String] = Nil) {
+    /** ROBOT-style argv rendering, substituted for a `{flags}` command token.
+      * `debug` renders the reference's `-vvv` (robot.py:301-302); `extraArgs`
+      * pass through verbatim (robot.py:269 `extra_args`). */
     def render: Seq[String] =
       Seq("--check", if (check) "true" else "false") ++
         (if (reason) Seq("--reason") else Nil) ++
-        (if (merge) Seq("--merge") else Nil)
+        (if (merge) Seq("--merge") else Nil) ++
+        (if (debug) Seq("-vvv") else Nil) ++
+        extraArgs
   }
 
   object ConvertFlags {
@@ -169,6 +174,11 @@ object SourceResolver {
                 if (rc == 0 && java.nio.file.Files.exists(tmp)) {
                   java.nio.file.Files.move(tmp, out,
                     java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                  // ParseResults.messages parity (robot.py:328): the converter's
+                  // text output rides along as diagnostics on success too
+                  val log = logBuf.toString("UTF-8").trim
+                  if (log.nonEmpty)
+                    messages += s"[${s.kind}] ${s.path} converter output: ${log.take(200)}"
                 } else if (rc != 0) {
                   messages += s"[${s.kind}] ${s.path} converter exited $rc: " +
                     logBuf.toString("UTF-8").take(200)

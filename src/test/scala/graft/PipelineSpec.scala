@@ -263,6 +263,12 @@ class PipelineSpec extends AnyFunSuite {
     // a command without {flags} ignores them (non-ROBOT converters)
     assert(ConvertedSource("/a", "owl", Seq("cp", "{in}", "{out}"), "/tmp/b").renderedCommand()
       == Seq("cp", "/a", "/tmp/b"))
+    // debug renders the reference's -vvv; extra_args pass through verbatim
+    val dbg = ConvertedSource("/o.owl", "owl", cmd, "/tmp/o.json",
+      ConvertFlags(debug = true, extraArgs = Seq("--strict", "-x")))
+    assert(dbg.renderedCommand() ==
+      Seq("robot-convert", "-i", "/o.owl", "--check", "true", "-vvv", "--strict", "-x",
+        "-o", "/tmp/o.json"))
   }
 
   test("S4 failure hygiene: partial output never cached, hung converter times out") {
