@@ -153,4 +153,24 @@ object GraftProperties extends Properties("graft") {
     forAll(genPrefix, genLocalId) { (p, id) =>
       graft.model.Ref.fromCurie(s"$p:$id").contains(graft.model.Ref(p, id))
     }
+
+  // --- media decoders: hostile containers can't hang, over-read, or escape ---
+
+  private val byteSoup: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 150).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
+
+  property("decodeBmp on arbitrary BM-prefixed bytes: decodes or IllegalArgumentException") =
+    forAll(byteSoup) { noise =>
+      val payload = "BM".getBytes ++ noise
+      try { graft.operators.MultimodalOps.decodeBmp(payload); true }
+      catch { case _: IllegalArgumentException => true } // any other escape (or a hang) fails
+    }
+
+  property("decodeWav on arbitrary RIFF/WAVE-framed bytes: decodes or IllegalArgumentException") =
+    forAll(byteSoup, Gen.listOfN(4, Gen.chooseNum(-128, 127).map(_.toByte))) { (noise, sz) =>
+      val payload = "RIFF".getBytes ++ sz.toArray ++ "WAVE".getBytes ++ noise
+      try { graft.operators.MultimodalOps.decodeWav(payload); true }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
