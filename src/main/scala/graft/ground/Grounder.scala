@@ -331,10 +331,14 @@ object MentionDetector {
    * Final mention triples: (turn URI, ex:mentions, concept CURIE),
    * deduplicated (A2 — the "final groupBy-dedup materialization").
    */
-  def mentionTriples(topMentions: DataFrame): DataFrame =
-    topMentions.select(
+  /** @param dedup set false when the caller dedups downstream anyway (e.g.
+    *   after canonicalize + union) — the final distinct set is identical and
+    *   a corpus-sized exchange is saved. */
+  def mentionTriples(topMentions: DataFrame, dedup: Boolean = true): DataFrame = {
+    val t = topMentions.select(
       concat(lit("turn:"), col("conv_id"), lit("/"), col("turn_idx")).as("subj"),
       lit(Vocab.Mentions).as("pred"),
       concat(col("prefix"), lit(":"), col("id")).as("obj"))
-      .dropDuplicates("subj", "pred", "obj")
+    if (dedup) t.dropDuplicates("subj", "pred", "obj") else t
+  }
 }

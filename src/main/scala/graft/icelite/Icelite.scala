@@ -36,20 +36,27 @@ final class Icelite(rootDir: String) extends Serializable {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong) else None
   }
 
+  /** Tags are stored JSON-safe; probe and store MUST sanitize identically or
+    * a tag containing a quote/backslash/newline would never resume. */
+  private def sanitizeTag(tag: String): String = tag.replaceAll("[\"\\\\\\n\\r]", "_")
+
   /** Find an existing snapshot carrying `tag` (tag = content key for resume). */
   def findByTag(table: String, tag: String): Option[Long] = {
     val snaps = tableDir(table).resolve("snapshots")
     if (!Files.exists(snaps)) return None
-    Files.list(snaps).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .flatMap { mf =>
-        val txt = new String(Files.readAllBytes(mf), "UTF-8")
-        // manifest is flat JSON written by us; a contains-check on the exact
-        // tag field is safe because tags are sanitized below
-        if (txt.contains(s""""tag":"$tag"""")) {
-          Some(mf.getFileName.toString.stripSuffix(".json").toLong)
-        } else None
-      }.toSeq.sorted.lastOption
+    val stream = Files.list(snaps) // Files.list holds a directory fd until closed
+    try {
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .flatMap { mf =>
+          val txt = new String(Files.readAllBytes(mf), "UTF-8")
+          // manifest is flat JSON written by us; a contains-check on the exact
+          // (sanitized, like writeSnapshot stores it) tag field is safe
+          if (txt.contains(s""""tag":"${sanitizeTag(tag)}"""")) {
+            Some(mf.getFileName.toString.stripSuffix(".json").toLong)
+          } else None
+        }.toList.sorted.lastOption
+    } finally stream.close()
   }
 
   /**
@@ -78,7 +85,7 @@ final class Icelite(rootDir: String) extends Serializable {
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       val rowCount = partCounts.map(_._2).sum
 
-      val safeTag = tag.replaceAll("[\"\\\\\\n\\r]", "_")
+      val safeTag = sanitizeTag(tag)
       val manifest =
         s"""{"snapshot_id":$id,"parent_id":${currentSnapshotId(table).getOrElse(-1L)},""" +
           s""""row_count":$rowCount,"tag":"$safeTag","data_path":"$dataPath",""" +

@@ -155,17 +155,25 @@ object DedupOps {
   /** Bucket membership lists + the guard, instrumented: dropped bucket/member
     * counts surface via [[bucketGuardCounts]] (a silent cap would read as "no
     * duplicates here" exactly when the signature is broken). The guard filter
-    * is a tiny UDF over post-aggregation rows (bucket counts, not corpus). */
+    * is a tiny UDF over post-aggregation rows (bucket counts, not corpus).
+    *
+    * Aggregation is the memory-BOUNDED [[graft.functions.CappedCollectSet]]:
+    * a plain collect_set would materialize a degenerate bucket's entire
+    * membership in one aggregation buffer BEFORE the size filter runs — at
+    * corpus scale that's an executor OOM on exactly the bucket the guard
+    * exists to drop. Under the cap the output is identical to
+    * `sort_array(collect_set(doc_id))`. */
   private def guardedBuckets(banded: DataFrame, bucketCols: Seq[String]): DataFrame = {
     val (droppedBuckets, droppedMembers) = guardAccumulators(banded)
-    val guard = udf { n: Int =>
-      if (n > MaxBucket) { droppedBuckets.add(1L); droppedMembers.add(n.toLong); false }
+    val guard = udf { n: Long =>
+      if (n > MaxBucket) { droppedBuckets.add(1L); droppedMembers.add(n); false }
       else n >= 2
     }
     banded
       .groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(guard(size(col("ids"))))
+      .agg(graft.functions.CappedCollectSet(col("doc_id"), MaxBucket).as("cs"))
+      .filter(guard(col("cs.n")))
+      .select(bucketCols.map(col) :+ col("cs.ids").as("ids"): _*)
   }
 
   /**
@@ -269,7 +277,9 @@ object DedupOps {
     // sigs feeds THREE consumers (banding + both sides of the verify join);
     // as a plan that is three full text→tokens→hash→vote corpus scans —
     // materialize the narrow (doc_id, sig) rows once instead (same rule as
-    // winnowingNearDuplicates' fraction branch)
+    // winnowingNearDuplicates' fraction branch). Lifetime: the returned
+    // DataFrame reads these blocks lazily, so they cannot be released here;
+    // the ContextCleaner unpersists them once the result plan is GC'd
     val sigs = documents.select(col("doc_id"), sigCol.as("sig")).localCheckpoint(true)
     val blockCols = (0 until blocks).map { b =>
       val lo = b * 64 / blocks
@@ -367,6 +377,18 @@ object DedupOps {
 
   def nearDupGroups(pairs: DataFrame, driverLimit: Long = DriverGroupLimit): DataFrame = {
     val spark = pairs.sparkSession
+    // ids must already be integral: cast("long") on e.g. string ids would
+    // null them SILENTLY, collapsing every pair to (0,0) in the driver branch
+    // and making the caller's dedup decision a no-op with no error
+    Seq("a", "b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _                                             => false
+      }
+      require(ok, s"nearDupGroups needs integral doc ids; column '$c' is " +
+        pairs.schema(c).dataType.catalogString)
+    }
     val narrow = pairs.select(col("a").cast("long"), col("b").cast("long"))
     // ONE probe job decides the branch AND feeds the driver path: collecting
     // limit(n+1) and branching on length avoids re-running the (potentially
@@ -380,11 +402,16 @@ object DedupOps {
       import spark.implicits._
       comp.toSeq.sortBy(_._1).toDF("doc_id", "keep_id")
     } else {
+      // materialize the pair list ONCE: CC derives its node set and initial
+      // edge set from it and `ids` reads it again — as a lazy plan that is
+      // 3 more full runs of the upstream LSH/banding pipeline (released by
+      // the ContextCleaner when the result DataFrame is collected)
+      val big = narrow.localCheckpoint(true)
       val cc = graft.operators.Closure.connectedComponents(
-        narrow.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))
+        big.select(sortableId(col("a")).as("a"), sortableId(col("b")).as("b")))
       // map encodings back by joining the original ids (hex→long parsing of
       // the full unsigned range is messier than a narrow join)
-      val ids = narrow.select(col("a").as("id")).unionByName(narrow.select(col("b").as("id")))
+      val ids = big.select(col("a").as("id")).unionByName(big.select(col("b").as("id")))
         .distinct().select(col("id"), sortableId(col("id")).as("enc"))
       cc
         .join(ids.withColumnRenamed("enc", "curie").withColumnRenamed("id", "doc_id"), "curie")

@@ -40,11 +40,16 @@ object BulkRunner {
                 val version = OboGraphReader.squeezeGraph(graphs, Some(canonicalPrefix))
                   .select(OboGraphReader.versionColumn).collect()
                   .headOption.flatMap(r => Option(r.getString(0)))
-                val result = KgPipeline.runPrepared(spark, transcripts,
-                  KgPipeline.prepare(spark, sourcePathOf(res), converter, Some(canonicalPrefix)),
-                  icelite, runTag = s"bulk/$canonicalPrefix")
-                JobReport(canonicalPrefix, ok = true, version,
-                  result.triples.count(), res.messages)
+                val ctx = KgPipeline.prepare(spark, sourcePathOf(res), converter,
+                  Some(canonicalPrefix))
+                // per-job context released once counted: a 1.2k-prefix sweep
+                // must not accumulate 1.2k cached tables + broadcast automatons
+                try {
+                  val result = KgPipeline.runPrepared(spark, transcripts, ctx,
+                    icelite, runTag = s"bulk/$canonicalPrefix")
+                  JobReport(canonicalPrefix, ok = true, version,
+                    result.triples.count(), res.messages)
+                } finally ctx.release()
               } catch {
                 case e: Exception =>
                   JobReport(canonicalPrefix, ok = false, None, 0L,
@@ -55,7 +60,13 @@ object BulkRunner {
     }
   }
 
+  /** The path the PARSEABLE JSON actually lives at: a ConvertedSource's
+    * `path` is the raw pre-conversion OWL/OBO — feeding that to the pipeline
+    * would re-parse garbage; its converter output (`outPath`) is the document
+    * the resolution succeeded on. */
   private def sourcePathOf(res: SourceResolver.Resolution): String =
-    res.resolvedFrom.map(_.path).getOrElse(
-      throw new IllegalStateException("resolved graphs without a source"))
+    res.resolvedFrom.map {
+      case c: SourceResolver.ConvertedSource => c.outPath
+      case s                                 => s.path
+    }.getOrElse(throw new IllegalStateException("resolved graphs without a source"))
 }

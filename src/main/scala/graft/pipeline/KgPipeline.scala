@@ -191,16 +191,27 @@ object KgPipeline {
       nodes: DataFrame,
       edges: DataFrame,
       grounder: org.apache.spark.broadcast.Broadcast[Grounder],
-      canonical: Map[String, String])
+      canonical: Map[String, String]) {
+    /** Release the cached ontology tables and the broadcast automaton. A
+      * bulk sweep prepares one context PER ontology — without an explicit
+      * release, N jobs pin 2N cached DataFrames and N automatons (tens of MB
+      * each at Bioregistry scale) in storage memory for the session's life.
+      * Call only after the job's results are consumed: the broadcast is
+      * destroyed, so unevaluated plans built on this context will fail. */
+    def release(): Unit = {
+      nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      grounder.destroy()
+    }
+  }
 
   def prepare(spark: SparkSession,
               ontologyJsonPath: String,
               converter: Converter = MiniOntology.converter,
               prefix: Option[String] = Some("PATO"),
               extraLexicon: Option[DataFrame] = None): OntologyContext = {
+    val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
     val graphs = OboGraphReader.readGraphs(spark, ontologyJsonPath)
-    val nodes = GraphStandardizer.standardizeNodes(graphs, converter, prefix).cache()
-    val edges = GraphStandardizer.standardizeEdges(graphs, converter).cache()
     val ownLexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
     val lexicon = extraLexicon.fold(ownLexicon)(x => ownLexicon.unionByName(x))
     // entity merge signals: node xrefs + equivalentNodesSets (both public
@@ -275,7 +286,9 @@ object KgPipeline {
         // resumable path: mentions materialize as a tagged snapshot first;
         // read-back loses partitioning, so dedup pays one explicit shuffle
         val topSnap = ic.materialize(spark, "mentions_top", s"$runTag/mentions")(top)
-        canonicalize(MentionDetector.mentionTriples(topSnap), canonical)
+        // dedup ONCE, after canonicalize+union — mentionTriples' own dedup
+        // would be a second corpus-sized exchange for the same final set
+        canonicalize(MentionDetector.mentionTriples(topSnap, dedup = false), canonical)
           .unionByName(ontologyTriples)
           .dropDuplicates("subj", "pred", "obj")
       case None =>

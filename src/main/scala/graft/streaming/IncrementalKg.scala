@@ -51,7 +51,12 @@ object IncrementalKg {
         // deltas are append-only by conversation turn)
         val triples = MentionDetector.detectTriples(
           MentionDetector.slim(batch), ctx.grounder)
-        triples.write.mode("append").parquet(outDir)
+        // foreachBatch is AT-LEAST-ONCE: a crash between this write and the
+        // checkpoint commit replays the batch. A plain append would then
+        // duplicate every triple — writing to a batchId-keyed partition with
+        // overwrite makes the replay rewrite the same directory instead
+        // (idempotent sink, per the foreachBatch docs)
+        triples.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -259,6 +259,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(m1 - m0 >= 10001L)
   }
 
+  test("capped_collect_set: == sort_array(collect_set) under cap; bounded over it") {
+    import graft.functions.CappedCollectSet
+    // 8 partitions force partial buffers through serialize/merge/deserialize
+    val df = spark.range(2000).repartition(8)
+      .select((col("id") % 37).as("g"), (col("id") % 211).as("v"),
+        concat(lit("s"), col("id") % 211).as("sv"))
+    val got = df.groupBy("g").agg(CappedCollectSet(col("v"), 1000).as("cs"))
+      .select(col("g"), col("cs.n"), col("cs.ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    val want = df.groupBy("g").agg(sort_array(collect_set(col("v"))).as("ids"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(got.map(x => (x._1, x._3)).toSeq == want.toSeq)
+    assert(got.forall { case (_, n, ids) => n == ids.size }) // exact under cap
+    // string values exercise the UTF8String copy + Comparable sort path
+    val gotStr = df.groupBy("g").agg(CappedCollectSet(col("sv"), 1000).as("cs"))
+      .select(col("cs.ids")).collect().map(_.getSeq[String](0))
+    assert(gotStr.forall(ids => ids == ids.sorted))
+    // over the cap: ids truncated at cap+1, n keeps the over-cap magnitude
+    val over = spark.range(5000).repartition(8).select(lit(0L).as("g"), col("id").as("v"))
+      .groupBy("g").agg(CappedCollectSet(col("v"), 100).as("cs"))
+      .select(col("cs.n"), col("cs.ids")).collect()(0)
+    assert(over.getLong(0) == 5000L, s"n = ${over.getLong(0)}")
+    assert(over.getSeq[Long](1).size == 101, "membership retention must stop at cap+1")
+  }
+
   test("winnowing relative threshold separates real overlap from boilerplate") {
     val shared = (0 until 40).map(i => s"common$i").mkString(" ")
     val docs = Seq(
