@@ -220,6 +220,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(!reports(2).ok && reports(2).messages.nonEmpty)
   }
 
+  test("bulk runner: a ConvertedSource job pipelines the converter OUTPUT, not the raw source") {
+    import graft.pipeline.BulkRunner
+    import graft.sources.SourceResolver._
+    val script = java.nio.file.Paths.get("target/fixtures/bulk_convert.sh")
+    java.nio.file.Files.write(script, "#!/bin/sh\ncp \"$1\" \"$2\"\n".getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    // the "owl" input deliberately does NOT parse as OBO Graph JSON — only
+    // the converter's output does; before the sourcePathOf fix the pipeline
+    // re-read the raw path and the whole job failed after a good resolution
+    val rawOwl = java.nio.file.Paths.get("target/fixtures/bulk_raw.owl")
+    java.nio.file.Files.write(rawOwl,
+      "<rdf:RDF>this is not json</rdf:RDF>".getBytes("UTF-8"))
+    val fixtureJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ontPath)), "UTF-8")
+    val convScript = java.nio.file.Paths.get("target/fixtures/bulk_convert2.sh")
+    java.nio.file.Files.write(convScript,
+      s"#!/bin/sh\ncp '$ontPath' \"$$2\"\n".getBytes("UTF-8"))
+    convScript.toFile.setExecutable(true)
+    assert(fixtureJson.nonEmpty)
+    val out = "target/fixtures/bulk_conv_out.json"
+    new java.io.File(out).delete()
+    val reports = BulkRunner.run(spark, Seq(
+      BulkRunner.OntologyJob("PATO", Seq(
+        ConvertedSource(rawOwl.toString, "owl",
+          Seq("sh", convScript.toString, "{in}", "{out}"), out)))),
+      Transcripts.synthetic(spark, 30), MiniOntology.converter)
+    assert(reports(0).ok, reports(0).messages.mkString("; "))
+    assert(reports(0).triples > 0)
+  }
+
   test("S3-S5: ConvertedSource runs an external converter, caches, and resolves") {
     import graft.sources.SourceResolver
     import graft.sources.SourceResolver._
