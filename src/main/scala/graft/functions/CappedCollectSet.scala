@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -27,10 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - over the cap: `n` = total rows observed (≥ distinct count — a diagnostic
  *    magnitude, the load-bearing bit is `n > cap`), `ids` truncated.
  *
- * Buffers cross the partial→final exchange via Java serialization (atomic
- * Catalyst values — Long/Double/UTF8String/Decimal — are all Serializable);
- * each buffer is ≤ cap+1 values by construction, so serialization cost is
- * bounded too.
+ * Buffers cross the partial→final exchange as UnsafeRow bytes (the same
+ * projection technique Spark's own Collect aggregate uses); each buffer is
+ * ≤ cap+1 values by construction, so serialization cost is bounded too.
  */
 case class CappedCollectSet(
     child: Expression,
@@ -81,23 +80,33 @@ case class CappedCollectSet(
     InternalRow(n, new GenericArrayData(arr))
   }
 
+  // partial buffers cross the exchange constantly — serialize through an
+  // UnsafeProjection (the same technique Spark's own Collect aggregate uses)
+  // rather than Java object streams
+  @transient private lazy val bufProjection =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array[DataType](LongType, ArrayType(child.dataType, containsNull = false)))
+
   override def serialize(buf: CappedCollectSet.Buf): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream()
-    val out = new ObjectOutputStream(bytes)
-    out.writeLong(buf.rows)
-    out.writeInt(buf.set.size)
-    val it = buf.set.iterator()
-    while (it.hasNext) out.writeObject(it.next())
-    out.flush()
-    bytes.toByteArray
+    val arr = new GenericArrayData(buf.set.toArray)
+    bufProjection.apply(InternalRow(buf.rows, arr)).getBytes
   }
 
   override def deserialize(storage: Array[Byte]): CappedCollectSet.Buf = {
-    val in = new ObjectInputStream(new ByteArrayInputStream(storage))
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
+    row.pointTo(storage, storage.length)
     val buf = new CappedCollectSet.Buf()
-    buf.rows = in.readLong()
-    var k = in.readInt()
-    while (k > 0) { buf.set.add(in.readObject()); k -= 1 }
+    buf.rows = row.getLong(0)
+    val arr = row.getArray(1)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      // values are views into `storage`, which this buffer owns and never
+      // reuses — still copy UTF8Strings so merge targets can't alias a byte
+      // array that a later pointTo could swap out
+      buf.set.add(CappedCollectSet.own(arr.get(i, child.dataType)))
+      i += 1
+    }
     buf
   }
 
