@@ -408,6 +408,22 @@ object SparkEntry {
     MiniOntology.expectedOntologyTriples
       .map { case (a, b, c) => s"('$a','$b','$c')" }.mkString(", ")
 
+  /** Exact cosine top-k reference, shared by q_ann_topk AND q_ann_ivf
+    * (all-lists IVF probing is definitionally equal to brute force). */
+  private val bruteForceTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
+      |  FROM embeddings e CROSS JOIN q),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_compress_iri" ->
       """SELECT doc_id,
@@ -531,41 +547,19 @@ object SparkEntry {
         |WHERE round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(x.toks, y.toks))), 6) >= 0.5""".stripMargin,
 
-    "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
-        |  FROM embeddings e CROSS JOIN q),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_topk" -> bruteForceTopKSql,
 
-    // all-lists IVF ≡ exact brute force (see the query comment)
-    "q_ann_ivf" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id,
-        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cos
-        |  FROM embeddings e CROSS JOIN q),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    // all-lists IVF ≡ exact brute force (see the query comment) — the SAME
+    // reference SQL by construction, shared so the two cannot drift apart
+    "q_ann_ivf" -> bruteForceTopKSql,
 
     "q_text_metrics" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
-        | CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        | CASE WHEN text IS NULL THEN NULL
+        |      WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
         |      WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
         |      WHEN h_es = greatest(h_en, h_es, h_de) THEN 'es'
         |      WHEN h_en = greatest(h_en, h_de) THEN 'en'

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.TypedInputs
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,11 +21,15 @@ import graft.curie.Converter
  * whole-stage-codegen span is NOT broken — these behave like built-in string
  * functions at 100 TB scan scale. No Scala UDF boxing, no Python.
  */
-abstract class ConverterExpression extends UnaryExpression {
+abstract class ConverterExpression extends UnaryExpression with TypedInputs {
   def converter: Converter
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+  // analysis-time typing (with friendly implicit casts, like built-in string
+  // functions): without it, a SQL call on e.g. a BIGINT column analyzes
+  // cleanly and dies mid-job with a ClassCastException in every task
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
 
   /** The scalar kernel (String → String-or-null); also used by codegen. */
   def kernel(s: String): String

@@ -16,8 +16,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType}
 case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
 
+  // bucket bits live in one Long; `1L << p` for p >= 64 would silently wrap
+  // and alias plane p onto plane p-64's bit (recall degrades with no error)
+  require(planes.nonEmpty && planes.length <= 64,
+    s"hyperplane bucket supports 1..64 planes, got ${planes.length}")
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket requires array<float> or array<double>, got ${other.catalogString}")
+    }
 
   private lazy val elementIsFloat: Boolean =
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]

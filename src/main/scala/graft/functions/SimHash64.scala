@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * inside whole-stage codegen: the generated code calls [[SimHash64.hashTokens]]
  * directly on the unsafe array, no row boxing.
  */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.graftshim.TypedInputs {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // analysis-time typing: a mistyped SQL call must fail analysis, not every task
+  override def expectedInputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.hashTokens(input.asInstanceOf[ArrayData])
@@ -34,9 +38,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** SimHash from an ALREADY-HASHED token array (array<long>): same voting
   * kernel, caller-supplied hash. Exists so the hash can be a PORTABLE one
   * (md5-derived) that an external oracle (DuckDB) can recompute bit-exactly. */
-case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.graftshim.TypedInputs {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def expectedInputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.hashLongs(input.asInstanceOf[ArrayData])

@@ -20,10 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * position instead of O(1)).
  */
 case class WinnowingSketch(child: Expression, k: Int = 8, w: Int = 4)
-  extends UnaryExpression {
+  extends UnaryExpression
+  with org.apache.spark.sql.graftshim.TypedInputs {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def expectedInputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(WinnowingSketch.sketch(input.asInstanceOf[UTF8String].toString, k, w))

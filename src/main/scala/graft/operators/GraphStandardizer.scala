@@ -85,7 +85,10 @@ object GraphStandardizer {
       .select(transform(col("ens.nodeIds"), id => standardize_id(id, converter)).as("ids"))
       .select(filter(col("ids"), _.isNotNull).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(element_at(col("ids"), 1).as("a"), explode(slice(col("ids"), 2, 10000)).as("b"))
+      // star topology: one edge per non-first member — LINEAR in set size, so
+      // no cap is needed (a cap here would silently leave members unmerged)
+      .select(element_at(col("ids"), 1).as("a"),
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("b"))
   }
 
   /**
@@ -94,7 +97,9 @@ object GraphStandardizer {
    * standardization as a typed errors Dataset — (kind, raw) rows with kind ∈
    * {node_id, edge_subj, edge_pred, edge_obj} — and a driver assertion that
    * fails the run when any exist. Foreign-prefix node drops are NOT errors
-   * (they are gatekeeping, ner.py:86-90), only unparseable values are.
+   * (they are gatekeeping, ner.py:86-90), only unparseable values are;
+   * for predicates "unparseable" means an IRI the converter cannot compress
+   * (shorthand like `is_a` passes through leniently in both modes).
    */
   def standardizationErrors(graphs: DataFrame, converter: Converter): DataFrame = {
     val nodeErrs = graphs
@@ -107,9 +112,20 @@ object GraphStandardizer {
       .select(raw.as("raw"), std.as("std"))
       .filter(col("std").isNull && col("raw").isNotNull)
       .select(lit(kind).as("kind"), col("raw"))
+    // predicates never standardize to null (normalize_predicate passes
+    // unknown values through), so their strict-mode failure condition is an
+    // IRI the converter could NOT compress — neither the predicate table nor
+    // prefix compression touched it
+    val predErrs = edges
+      .select(col("edge.pred").as("raw"),
+        normalize_predicate(col("edge.pred"), converter).as("std"))
+      .filter(col("raw").isNotNull &&
+        (col("raw").startsWith("http://") || col("raw").startsWith("https://")) &&
+        col("std") === col("raw"))
+      .select(lit("edge_pred").as("kind"), col("raw"))
     nodeErrs
       .unionByName(edgeErr("edge_subj", col("edge.sub"), standardize_id(col("edge.sub"), converter)))
-      .unionByName(edgeErr("edge_pred", col("edge.pred"), normalize_predicate(col("edge.pred"), converter)))
+      .unionByName(predErrs)
       .unionByName(edgeErr("edge_obj", col("edge.obj"), standardize_id(col("edge.obj"), converter)))
       .distinct()
   }

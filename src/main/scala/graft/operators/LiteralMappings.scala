@@ -10,8 +10,10 @@ import graft.model.Vocab
  * ner.py:85-113): from each standardized node emit
  *   - one label mapping (predicate rdfs:label) when the node has a label;
  *   - one mapping per synonym (predicate = synonym scope, provenance =
- *     synonym xrefs);
- *   - nothing when the label is absent / meta is absent.
+ *     synonym xrefs) — EVEN for label-less nodes (the reference's
+ *     `_lm_from_node` emits synonyms with name=None; only the label row
+ *     itself requires a label);
+ *   - nothing when meta is absent entirely.
  *
  * Spark-first formulation: label rows UNION ALL exploded synonym rows — pure
  * Catalyst (no custom Generator), both branches scan the (cached) node table

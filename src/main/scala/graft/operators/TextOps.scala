@@ -40,7 +40,11 @@ object TextOps {
     // struct comparison = (hits, lang) lexicographic → ties break to the
     // lexicographically-LAST language code; deterministic and oracle-replicable
     val top = array_max(array(scored: _*))
-    when(top.getField("hits") === 0, lit("und")).otherwise(top.getField("lang"))
+    // NULL text → NULL guess (without the guard, every per-language hits
+    // field is null, the struct max tie-breaks on lang alone, and the
+    // `hits === 0` test is null → the otherwise-branch emits a LANGUAGE)
+    when(text.isNull, lit(null).cast("string"))
+      .when(top.getField("hits") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 
   /**

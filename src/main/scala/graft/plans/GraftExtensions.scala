@@ -24,13 +24,17 @@ import graft.functions._
  * `experimental.extraStrategies` call (the engine-API path,
  * [[DetectTriples.ensureRegistered]], keeps working for plain sessions).
  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+class GraftExtensions(private val conv: Converter) extends (SparkSessionExtensions => Unit) {
 
-  def this(converter: Converter) = { this(); GraftExtensions.converterOverride = Some(converter) }
+  /** No-arg form for `spark.sql.extensions` class-name loading: resolves the
+    * process-wide override (set BEFORE session build) or the fixture
+    * converter. The converter is captured PER INSTANCE at construction —
+    * building a second extensions object (or writing the override later)
+    * cannot silently swap the converter under an already-built session's
+    * registered functions. */
+  def this() = this(GraftExtensions.converterOverride.getOrElse(MiniOntology.converter))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def conv: Converter = GraftExtensions.converterOverride.getOrElse(MiniOntology.converter)
-
     def register(name: String, builder: (Expression, Converter) => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -46,14 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("normalize_prefix", NormalizePrefix(_, _))
     register("normalize_predicate", NormalizePredicate(_, _))
     register("standardize_id", StandardizeId(_, _))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo("graft.functions", "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64_from_hashes"),
-      new ExpressionInfo("graft.functions", "simhash64_from_hashes"),
-      (children: Seq[Expression]) => SimHash64FromHashes(children.head)))
+    def arity1(name: String, build: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (children: Seq[Expression]) => {
+          if (children.size != 1) throw new IllegalArgumentException(
+            s"$name expects exactly 1 argument, got ${children.size}")
+          build(children.head)
+        }))
+    arity1("simhash64", SimHash64(_))
+    arity1("simhash64_from_hashes", SimHash64FromHashes(_))
     // winnowing_sketch(text[, k, w]) — k/w must be foldable int literals
     ext.injectFunction((
       FunctionIdentifier("winnowing_sketch"),

@@ -62,6 +62,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(InternalRowShim.logicalDf(s, node).count() > 0)
       assert(s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .experimental.extraStrategies.isEmpty, "planning must not have needed the fallback")
+
+      // analysis-time typing: a mistyped call fails ANALYSIS, not every task
+      intercept[org.apache.spark.sql.AnalysisException](
+        s.sql("SELECT simhash64(42)").collect())
+      intercept[Exception]( // arity validated at resolution
+        s.sql("SELECT simhash64()").collect())
+      // friendly implicit casts for the string family, like built-ins
+      assert(s.sql("SELECT compress_iri(42)").collect()(0).isNullAt(0))
+
+      // converter binding is PER INSTANCE: constructing another extensions
+      // object (different converter) must not swap this session's functions
+      new graft.plans.GraftExtensions(new graft.curie.Converter(
+        Seq(graft.model.PrefixRecord("ZZZ", "http://zzz.example/"))))
+      assert(s.sql("SELECT compress_iri('http://purl.obolibrary.org/obo/PATO_77')")
+        .collect()(0).getString(0) == "PATO:77")
     } finally {
       // do NOT stop the context (shared JVM); just restore the prior session
       prior.foreach { p =>

@@ -26,6 +26,11 @@ class OperatorSpec extends AnyFunSuite {
       "xyzzy plugh")                // no stopwords -> und
       .toDF("text").select(TextOps.langId(col("text")).as("lang"))
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "de", "fr", "und"))
+    // NULL text → NULL guess (not a language; the oracle's CASE agrees) —
+    // without the guard, null hits tie-broke on lang alone and emitted 'fr'
+    val nullRow = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextOps.langId(col("text"))).collect()(0)
+    assert(nullRow.isNullAt(0))
   }
 
   test("fingerprint: whitespace/case-insensitive, content-sensitive") {
@@ -298,6 +303,11 @@ class OperatorSpec extends AnyFunSuite {
     val abs = DedupOps.winnowingNearDuplicates(docs, minShared = 2, k = 8, w = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(abs.contains((1L, 2L)))
+  }
+
+  test("hyperplane bucket: >64 planes is a construction error, not silent bit aliasing") {
+    assertThrows[IllegalArgumentException](
+      graft.functions.HyperplaneBucket(col("x"), Array.fill(65)(Array(1.0))))
   }
 
   test("plan: embedding candidate generation never shuffles vectors") {

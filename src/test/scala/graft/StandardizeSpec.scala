@@ -167,6 +167,34 @@ class StandardizeSpec extends AnyFunSuite {
         |"edges":[{"sub":"http://purl.obolibrary.org/obo/PATO_0000118","pred":"is_a",
         |          "obj":"http://purl.obolibrary.org/obo/PATO_0000001"}]}]}""".stripMargin)
     GraphStandardizer.assertStandardizable(OboGraphReader.readGraphs(spark, cleanPath), conv)
+    // edge_pred strict failure = a predicate IRI the converter cannot
+    // compress (normalize_predicate passes it through, so the lenient path
+    // ships the raw string — strict mode must SEE it)
+    val badPredPath = writeGraphDoc("bad_pred_graph.json",
+      """{"graphs":[{"id":"http://purl.obolibrary.org/obo/pato.owl",
+        |"nodes":[{"id":"http://purl.obolibrary.org/obo/PATO_0000001","lbl":"quality"}],
+        |"edges":[{"sub":"http://purl.obolibrary.org/obo/PATO_0000118",
+        |          "pred":"http://unknown.example/bogusPredicate",
+        |          "obj":"http://purl.obolibrary.org/obo/PATO_0000001"}]}]}""".stripMargin)
+    val predErrs = GraphStandardizer.standardizationErrors(
+        OboGraphReader.readGraphs(spark, badPredPath), conv)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(predErrs.contains(("edge_pred", "http://unknown.example/bogusPredicate")), predErrs.toSeq)
+    // shorthand predicates stay lenient in both modes
+    assert(!predErrs.exists(_._2 == "is_a"))
+  }
+
+  test("equivalentNodesSets: sets far beyond the old 10k cap merge every member") {
+    val n = 10500
+    val ids = (0 until n)
+      .map(i => f""""http://purl.obolibrary.org/obo/PATO_$i%07d"""").mkString(",")
+    val p = writeGraphDoc("big_ens_graph.json",
+      s"""{"graphs":[{"id":"http://purl.obolibrary.org/obo/pato.owl",
+         |"nodes":[],"edges":[],
+         |"equivalentNodesSets":[{"nodeIds":[$ids]}]}]}""".stripMargin)
+    val edges = GraphStandardizer.equivalentNodeEdges(OboGraphReader.readGraphs(spark, p), conv)
+    // star topology: one edge per non-first member — nothing silently dropped
+    assert(edges.count() == (n - 1).toLong)
   }
 
   test("connected components J3: xref links collapse to min curie") {
