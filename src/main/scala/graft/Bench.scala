@@ -51,7 +51,7 @@ object Bench {
   val CorpusPath = "/dev/shm/graft-bench-corpus"
   val CorpusBuckets = 128
 
-  private def writeCorpus(nConvs: Long): Long = {
+  private def writeCorpus(nConvs: Long): Unit = {
     val s = newSession(32)
     val df = Transcripts.synthetic(s, nConvs)
     df.repartition(CorpusBuckets, org.apache.spark.sql.functions.col("conv_id"))
@@ -60,9 +60,7 @@ object Bench {
       // shared-DRAM band, fewer bytes through the memory controller beats
       // cheaper per-byte decode (and zstd is the common Iceberg table codec)
       .write.mode("overwrite").option("compression", "zstd").parquet(CorpusPath)
-    val n = s.read.parquet(CorpusPath).count()
     s.stop()
-    n
   }
 
   /**
@@ -71,17 +69,14 @@ object Bench {
    * would serialize the cluster on the driver), then full corpus passes,
    * each wall-timed.
    *
-   * @param bucketedStorage true → read the conv_id-bucketed parquet corpus
-   *        (Iceberg-layout storage; zero-shuffle path, the deployment shape);
-   *        false → same data via in-memory cache + the salted corpus-wide
-   *        repartition (the un-bucketed-input path, reported alongside).
+   * Reads the conv_id-bucketed parquet corpus (Iceberg-layout storage; the
+   * zero-shuffle deployment shape). The salted-repartition un-bucketed path
+   * is exercised by the test suite and ScalingProbe, not timed here.
    */
-  private def pipelineRun(spark: SparkSession, nConvs: Long, reps: Int, maxReps: Int,
-                          bucketedStorage: Boolean): (Long, Long, Seq[Double]) = {
-    val input =
-      if (bucketedStorage) spark.read.parquet(CorpusPath)
-      else Transcripts.synthetic(spark, nConvs).cache()
-    val nTurns = input.count() // materialize cache / warm page cache outside timing
+  private def pipelineRun(spark: SparkSession, reps: Int,
+                          maxReps: Int): (Long, Long, Long, Seq[Double]) = {
+    val input = spark.read.parquet(CorpusPath)
+    val nTurns = input.count() // warm page cache outside timing
     val ontPath = MiniOntology.writeTo("target/fixtures")
     // 250k two-token synonyms ≈ a mid-size production lexicon (Bioregistry
     // aggregates 10^5-10^6 literal mappings; UMLS ~4M). The 50k round-1
@@ -90,6 +85,7 @@ object Bench {
     val ctx = KgPipeline.prepare(spark, ontPath,
       extraLexicon = Some(Transcripts.bigLexicon(spark, pairTerms = 250000)))
     var triples = 0L
+    var sig = 0L
     // run to plateau: per-thread row volume differs between levels, so C2
     // warm-up needs a different number of passes per level — fixed rep
     // counts under-warm whichever level has more threads. Stop when the
@@ -98,19 +94,31 @@ object Bench {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     var staleness = 0
     while (times.size < reps || (staleness < 2 && times.size < maxReps)) {
+      import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
       val t0 = System.nanoTime()
-      triples = KgPipeline.runPrepared(spark, input, ctx,
-        inputConvPartitioned = bucketedStorage).triples.count()
+      // count + order-invariant content signature in ONE pass: a cross-level
+      // nondeterminism that swapped triple A for B while keeping the count
+      // equal would otherwise still report identical_output
+      val r = KgPipeline.runPrepared(spark, input, ctx, inputConvPartitioned = true)
+        .triples
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("subj"), col("pred"), col("obj"))).as("sig"))
+        .collect()(0)
+      triples = r.getLong(0)
+      sig = if (r.isNullAt(1)) 0L else r.getLong(1)
       val sec = (System.nanoTime() - t0) / 1e9
       val prevMin = if (times.isEmpty) Double.MaxValue else times.min
       times += sec
       staleness = if (sec < prevMin * 0.97) 0 else staleness + 1
     }
-    if (!bucketedStorage) input.unpersist()
-    (nTurns, triples, times.toSeq)
+    (nTurns, triples, sig, times.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
+    // the contract stdout line is parsed as JSON: the f"" interpolator uses
+    // the default locale, and a comma-decimal locale (de_DE…) would print
+    // {"q":1,234} — pin the whole bench process to ROOT
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toLong
@@ -143,10 +151,11 @@ object Bench {
     val times = scala.collection.mutable.Map[Int, Seq[Double]]().withDefaultValue(Seq.empty)
     val turns = scala.collection.mutable.Map[Int, Long]()
     val triples = scala.collection.mutable.Map[Int, Long]()
+    val sigs = scala.collection.mutable.Map[Int, Long]()
     def oneRound(reps: Int): Unit = for (cpus <- levels) {
       val s = newSession(cpus)
-      val (t, tr, ts) = pipelineRun(s, benchConvs, reps, maxRepsFor(cpus), bucketedStorage = true)
-      turns(cpus) = t; triples(cpus) = tr; times(cpus) = times(cpus) ++ ts
+      val (t, tr, sg, ts) = pipelineRun(s, reps, maxRepsFor(cpus))
+      turns(cpus) = t; triples(cpus) = tr; sigs(cpus) = sg; times(cpus) = times(cpus) ++ ts
       s.stop()
     }
     def effNow: Double = times(2).min / times(8).min / 4.0
@@ -170,7 +179,8 @@ object Bench {
     val thr32 = turns(32) / sec32
     val eff = (thr8 / thr2) / 4.0
     val eff832 = (thr32 / thr8) / 4.0
-    val identical = triples(2) == triples(8) && triples(8) == triples(32)
+    val identical = triples(2) == triples(8) && triples(8) == triples(32) &&
+      sigs(2) == sigs(8) && sigs(8) == sigs(32)
 
     // ---- part B: per-query timings --------------------------------------
     val spark1 = newSession(cpus)

@@ -118,14 +118,18 @@ object Transcripts {
         // planted lexicon term, the rest draw from a 20k-word noise
         // vocabulary — realistic mention density (~1-3 per turn), so bench
         // output volume tracks real corpora instead of being output-bound
+        // hash array staged through an inner transform (CLAUDE.md HOF rule:
+        // a `val h` spliced into three spots re-evaluates xxhash64 per
+        // reference — as a lambda-bound element it computes ONCE per word);
+        // same hash values, so the generated corpus is byte-identical
         concat_ws(" ",
-          transform(sequence(lit(0), lit(wordsPerTurn - 1)),
-            i => {
-              val h = xxhash64(col("cid"), col("turn_idx"), i, lit(seed))
-              when(pmod(h, lit(mentionEvery)) === 0,
+          transform(
+            transform(sequence(lit(0), lit(wordsPerTurn - 1)),
+              i => xxhash64(col("cid"), col("turn_idx"), i, lit(seed))),
+            h => when(pmod(h, lit(mentionEvery)) === 0,
                 element_at(vocabArr, pmod(h, lit(nWords)).cast("int") + 1))
-                .otherwise(concat(lit("w"), pmod(h, lit(20000)).cast("string")))
-            })).as("text"),
+              .otherwise(concat(lit("w"), pmod(h, lit(20000)).cast("string")))))
+          .as("text"),
         when(pmod(col("turn_idx"), lit(3)) === 2, lit("search"))
           .otherwise(lit(null).cast("string")).as("tool"),
         timestamp_seconds(lit(1700000000L) + col("cid") * 10000 + col("turn_idx")).as("ts"))

@@ -42,7 +42,10 @@ object CodecProbe {
         Transcripts.synthetic(s, nConvs)
           .repartition(128, org.apache.spark.sql.functions.col("conv_id"))
           .write.mode("overwrite").option("compression", codec).parquet(path)
-        val bytes = new java.io.File(path).listFiles().map(_.length()).sum
+        // data files only: the local FS also writes _SUCCESS and .crc
+        // sidecars, which would skew the codec-size comparison unevenly
+        val bytes = new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
         System.err.println(f"CODEC $codec%-12s size=${bytes / 1e6}%.0f MB")
         s.stop()
       }

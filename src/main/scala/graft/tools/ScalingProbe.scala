@@ -96,7 +96,7 @@ object ScalingProbe {
     }
 
     System.err.println("\nPROBE SUMMARY (min over rounds)")
-    val lv = sys.env.getOrElse("PROBE_LEVELS", "8,32").split(",").map(_.trim.toInt).toSeq
+    val lv = levels // same parse as the bench loop — a drift here would throw on lookup
     for (label <- Seq("scan", "shuffle", "detect", "full", "detectpq")) {
       val lo = results((label, lv.head)); val hi = results((label, lv.last))
       val factor = lv.last.toDouble / lv.head
