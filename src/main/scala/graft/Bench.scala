@@ -94,15 +94,18 @@ object Bench {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     var staleness = 0
     while (times.size < reps || (staleness < 2 && times.size < maxReps)) {
-      import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+      import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
       val t0 = System.nanoTime()
       // count + order-invariant content signature in ONE pass: a cross-level
       // nondeterminism that swapped triple A for B while keeping the count
-      // equal would otherwise still report identical_output
+      // equal would otherwise still report identical_output. XOR, not sum —
+      // sum overflows Long and ANSI mode (Spark 4 default) turns that into a
+      // task failure; XOR is commutative and overflow-free, and the triple
+      // set is globally distinct so entries cannot self-cancel
       val r = KgPipeline.runPrepared(spark, input, ctx, inputConvPartitioned = true)
         .triples
         .agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("subj"), col("pred"), col("obj"))).as("sig"))
+          bit_xor(xxhash64(col("subj"), col("pred"), col("obj"))).as("sig"))
         .collect()(0)
       triples = r.getLong(0)
       sig = if (r.isNullAt(1)) 0L else r.getLong(1)
