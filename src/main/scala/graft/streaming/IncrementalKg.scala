@@ -49,18 +49,25 @@ object IncrementalKg {
         // same fused scan as the batch pipeline — per-turn dedup is exact
         // within a batch; across batches a turn never reappears (snapshot
         // deltas are append-only by conversation turn)
-        val triples = MentionDetector.detectTriples(
-          MentionDetector.slim(batch), ctx.grounder)
-        // foreachBatch is AT-LEAST-ONCE: a crash between this write and the
-        // checkpoint commit replays the batch. A plain append would then
-        // duplicate every triple — writing to a batchId-keyed partition with
-        // overwrite makes the replay rewrite the same directory instead
-        // (idempotent sink, per the foreachBatch docs)
-        triples.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        ()
+        writeBatch(MentionDetector.detectTriples(
+          MentionDetector.slim(batch), ctx.grounder), outDir, batchId)
       }
       .start()
     q.awaitTermination()
     batches
+  }
+
+  /**
+   * IDEMPOTENT batch sink: foreachBatch is at-least-once — a crash between
+   * the write and the streaming checkpoint commit replays the batch. A plain
+   * `mode("append")` would duplicate every replayed triple; writing each
+   * micro-batch to its own batchId-keyed partition with overwrite makes a
+   * replay rewrite the same directory instead (the pattern the foreachBatch
+   * docs prescribe). Readers `spark.read.parquet(outDir)` and see `batch_id`
+   * as a partition column.
+   */
+  def writeBatch(triples: org.apache.spark.sql.DataFrame, outDir: String, batchId: Long): Unit = {
+    triples.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    ()
   }
 }

@@ -150,4 +150,18 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count()
     assert(dupCheck == 0, "incremental restart reprocessed old files")
   }
+
+  test("incremental sink is idempotent under batch REPLAY (at-least-once foreachBatch)") {
+    import org.apache.spark.sql.functions.lit
+    val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val triples = spark.createDataFrame(Seq(("turn:c/0", "graft:mentions", "PATO:1"),
+      ("turn:c/1", "graft:mentions", "PATO:2"))).toDF("subj", "pred", "obj")
+    IncrementalKg.writeBatch(triples, out, batchId = 7L)
+    // crash-replay of the SAME batch id must rewrite, not duplicate
+    IncrementalKg.writeBatch(triples, out, batchId = 7L)
+    IncrementalKg.writeBatch(triples.withColumn("obj", lit("PATO:9")), out, batchId = 8L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4, "replayed batch must not append duplicates")
+    assert(back.groupBy("subj", "pred", "obj").count().filter(col("count") > 1).count() == 0)
+  }
 }
