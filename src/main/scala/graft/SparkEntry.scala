@@ -186,6 +186,17 @@ object SparkEntry {
         maxHamming = 4, portableHash = true)
     }),
 
+    // --- decontamination: eval items = first 12 tokens of every 41st doc
+    // (simulated benchmark leakage); flag docs covering >= 80% of an item's
+    // 3-gram set. The source doc always covers its own item at frac 1.0.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(split(DedupOps.normText(col("text")), " "), 1, 12)).as("text"))
+      DedupOps.contamination(d, bench, n = 3, minFrac = 0.8)
+    }),
+
     // --- dedup: exact n-gram Jaccard on a bounded pair set (oracle-checked)
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 100).select("doc_id", "text")
@@ -534,6 +545,38 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    // coverage = |grams(bench) ∩ grams(doc)| / |grams(bench)|, 3-gram sets
+    // built with the exact shingle rule the engine uses (short text → one
+    // whole-text shingle); bench items = first 12 normalized tokens of every
+    // 41st doc
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM d),
+        |b0 AS (SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM d WHERE doc_id % 41 = 0),
+        |b AS (
+        |  SELECT bench_id,
+        |    CASE WHEN len(btoks) < 3 THEN [array_to_string(btoks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(btoks)-1),
+        |                i -> array_to_string(btoks[i:i+2], ' '))) END AS sh
+        |  FROM b0),
+        |j AS (
+        |  SELECT s.doc_id, b.bench_id,
+        |         CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_shared,
+        |         CAST(len(b.sh) AS BIGINT) AS n_bench
+        |  FROM s CROSS JOIN b)
+        |SELECT doc_id, bench_id, n_shared, n_bench,
+        |       round(CAST(n_shared AS DOUBLE) / n_bench, 6) AS frac
+        |FROM j
+        |WHERE n_shared > 0 AND round(CAST(n_shared AS DOUBLE) / n_bench, 6) >= 0.8""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (

@@ -344,6 +344,42 @@ object DedupOps {
     }
   }
 
+  /**
+   * Benchmark DECONTAMINATION (training-data hygiene): flag training
+   * documents that cover at least `minFrac` of an eval item's token n-grams
+   * — the standard n-gram contamination test run before every pretraining
+   * cycle. Direction matters: coverage is
+   * |grams(bench) ∩ grams(doc)| / |grams(bench)| — a long training document
+   * containing a short eval item verbatim scores 1.0 on the ITEM even though
+   * the item covers little of the document.
+   *
+   * 100 TB design: eval sets are tiny (10²–10⁵ items) → the gram-exploded
+   * benchmark side is BROADCAST; the corpus is scanned once and only MATCHED
+   * (doc, bench, gram) rows — sparse by construction, contamination is the
+   * exception — reach the aggregation shuffle. Nothing corpus-sized is ever
+   * shuffled, and both gram sets are distinct so the join emits unique
+   * triples (count, not countDistinct).
+   *
+   * @param benchmark (bench_id, text) eval items
+   * @return (doc_id, bench_id, n_shared, n_bench, frac) for frac ≥ minFrac
+   */
+  def contamination(documents: DataFrame, benchmark: DataFrame, n: Int = 3,
+                    minFrac: Double = 0.8): DataFrame = {
+    val docGrams = shingleArray(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val benchGrams = benchmark
+      .select(col("bench_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("bench_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("bench_id"), size(col("sh")).cast("long").as("n_bench"),
+        explode(col("sh")).as("gram"))
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id", "bench_id", "n_bench")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("frac", round(col("n_shared").cast("double") / col("n_bench"), 6))
+      .filter(col("frac") >= minFrac)
+      .select("doc_id", "bench_id", "n_shared", "n_bench", "frac")
+  }
+
   /** bucketPairs without the final distinct (callers aggregate pair counts). */
   private def bucketPairsAll(banded: DataFrame, bucketCols: String*): DataFrame =
     guardedBuckets(banded, bucketCols)

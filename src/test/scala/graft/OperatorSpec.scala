@@ -289,6 +289,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(over.getSeq[Long](1).size == 101, "membership retention must stop at cap+1")
   }
 
+  test("decontamination: coverage of the BENCH item's grams; direction matters") {
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta extra words here now"),
+      (2L, "totally different content with no overlap at all whatsoever"),
+      (3L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bench_id", "text")
+    // doc 1 contains the full 8-token item → all 6 of ITS 3-grams covered,
+    // even though the item covers only a fraction of doc 1 (the asymmetry a
+    // Jaccard test would miss)
+    val out = DedupOps.contamination(docsDf, bench, n = 3, minFrac = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 100L, 1.0)))
+    val loose = DedupOps.contamination(docsDf, bench, n = 3, minFrac = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 3L)) // partial leak surfaces, disjoint doc never
+  }
+
   test("winnowing relative threshold separates real overlap from boilerplate") {
     val shared = (0 until 40).map(i => s"common$i").mkString(" ")
     val docs = Seq(
