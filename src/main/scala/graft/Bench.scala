@@ -39,6 +39,7 @@ object Bench {
       // shuffle spill to tmpfs: the sandbox measures CPU scaling, not the
       // sandbox's single virtio disk (a real cluster has per-node disks)
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

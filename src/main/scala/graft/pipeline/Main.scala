@@ -31,6 +31,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit injects spark.master; standalone runs fall back to local
     val spark = (if (sys.props.contains("spark.master")) builder
+                 .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -24,6 +24,7 @@ object CodecProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

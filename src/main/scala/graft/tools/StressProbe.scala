@@ -17,6 +17,7 @@ object StressProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val ctx = KgPipeline.prepare(spark, MiniOntology.writeTo("target/fixtures"),

@@ -18,6 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions(graft.fixtures.MiniOntology.converter))
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
       .getOrCreate()
     try {
       val r = s.sql(

@@ -289,6 +289,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(over.getSeq[Long](1).size == 101, "membership retention must stop at cap+1")
   }
 
+  test("explode over shingles evaluates the text normalization exactly ONCE (no inferred filter)") {
+    // InferFiltersFromGenerate would add size(e)>0 && isnotnull(e) below the
+    // explode with the whole shingle expression alias-inlined — re-splitting
+    // the text per lambda element, twice per row (measured 8x on sf0.1 gram
+    // plans). SparkDefaults.ExcludedRules keeps it out of engine sessions;
+    // this pins the resulting single-evaluation plan shape.
+    // range source, NOT a literal Seq — a LocalRelation would be constant-
+    // folded and the whole expression evaluated at optimization time
+    val d = spark.range(5).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta "), col("id")).as("text"))
+    val plan = DedupOps.shingleArray(d, 3).select(explode(col("sh")))
+      .queryExecution.optimizedPlan.toString
+    val regexEvals = "regexp_replace".r.findAllIn(plan).size
+    assert(regexEvals == 1, s"normalization must appear once, found $regexEvals:\n${plan.take(1500)}")
+  }
+
   test("decontamination: coverage of the BENCH item's grams; direction matters") {
     val docsDf = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta extra words here now"),
