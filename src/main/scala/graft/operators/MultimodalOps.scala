@@ -110,12 +110,15 @@ object MultimodalOps {
     require(le16(b, 28) == 24, s"unsupported bpp ${le16(b, 28)} (24-bit only)")
     require(le32(b, 30) == 0, "unsupported compression (BI_RGB only)")
     // header fields are UNTRUSTED: bound every allocation/read against the
-    // actual payload before sizing arrays (Long math — width*height can
-    // overflow Int for hostile headers)
-    val rowBytes = (width * 3 + 3) & ~3
+    // actual payload before sizing arrays. ALL intermediate arithmetic in
+    // Long — `width * 3` alone can wrap Int for a hostile width and slip a
+    // tiny rowBytes past the bound check
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
     require(width > 0 && height > 0 && dataOff >= 54 &&
-      dataOff.toLong + rowBytes.toLong * height <= b.length,
+      dataOff.toLong + rowBytesL * height <= b.length,
       s"BMP header inconsistent with payload (${width}x$rawH, off=$dataOff, len=${b.length})")
+    // bound passed ⇒ rowBytesL*height < 2^31 ⇒ every product below fits Int
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

@@ -29,9 +29,11 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // applies in BOTH branches: the explode-plan regression the exclusion
+      // prevents is independent of how the session got its master
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
     // spark-submit injects spark.master; standalone runs fall back to local
     val spark = (if (sys.props.contains("spark.master")) builder
-                 .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -182,6 +182,12 @@ object SourceResolver {
                 } else if (rc != 0) {
                   messages += s"[${s.kind}] ${s.path} converter exited $rc: " +
                     logBuf.toString("UTF-8").take(200)
+                } else {
+                  // rc==0 but no output file: a misconfigured command (missing
+                  // {out} token, converter writing elsewhere/stdout) must be a
+                  // RECORDED skip, not a silent one
+                  messages += s"[${s.kind}] ${s.path} converter exited 0 but wrote no output " +
+                    s"(does the command use the {out} token?)"
                 }
               }
             } finally java.nio.file.Files.deleteIfExists(tmp)

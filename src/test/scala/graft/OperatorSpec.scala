@@ -150,6 +150,12 @@ class OperatorSpec extends AnyFunSuite {
     val hugeBmp = "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(40) ++
       le32(30000) ++ le32(30000) ++ Array[Byte](1, 0, 24, 0) ++ le32(0) ++ new Array[Byte](80)
     assertThrows[IllegalArgumentException](MultimodalOps.decodeBmp(hugeBmp))
+    // width chosen so width*3 WRAPS Int to a tiny positive rowBytes — the
+    // bound check must do its arithmetic in Long or this slips through and
+    // escapes as ArrayIndexOutOfBounds
+    val wrapBmp = "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(40) ++
+      le32(0x55555557) ++ le32(1) ++ Array[Byte](1, 0, 24, 0) ++ le32(0) ++ new Array[Byte](80)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeBmp(wrapBmp))
     // ...and through extractFeatures every corrupt payload degrades to the
     // stub histogram instead of killing (or hanging) the corpus job
     val rows = Seq(

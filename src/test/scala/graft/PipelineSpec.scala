@@ -338,6 +338,17 @@ class PipelineSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 30, "timeout must cut the wait")
     assert(res3.messages.exists(_.contains("timed out")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out2)))
+
+    // a converter exiting 0 WITHOUT writing {out} (misconfigured command) is
+    // a RECORDED skip, not a silent one
+    val noop = dir.resolve("noop_convert.sh")
+    java.nio.file.Files.write(noop, "#!/bin/sh\nexit 0\n".getBytes("UTF-8"))
+    noop.toFile.setExecutable(true)
+    val out3 = dir.resolve("nooutput.json").toString
+    val res4 = SourceResolver.resolve(spark, Seq(
+      ConvertedSource(ontPath, "owl", Seq("sh", noop.toString, "{in}"), out3)))
+    assert(res4.graphs.isEmpty)
+    assert(res4.messages.exists(_.contains("wrote no output")), res4.messages)
   }
 
   test("ANN bucketed storage: partition-pruned probes, same results as in-memory path") {
