@@ -154,6 +154,34 @@ object GraftProperties extends Properties("graft") {
       graft.model.Ref.fromCurie(s"$p:$id").contains(graft.model.Ref(p, id))
     }
 
+  // --- capped_collect_set: full buffer lifecycle vs a reference set ---------
+
+  property("capped_collect_set buffer lifecycle == reference distinct set under cap") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val genVals = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    val genParts = Gen.chooseNum(1, 5)
+    forAll(genVals, genParts, Gen.chooseNum(5, 120)) { (vals, nParts, cap) =>
+      val agg = graft.functions.CappedCollectSet(
+        BoundReference(0, LongType, nullable = true), cap)
+      // partial buffers per partition, each through a serialize round trip
+      // (exactly what crosses the partial->final exchange), then merged
+      val partials = vals.grouped(math.max(1, vals.size / nParts)).map { part =>
+        val b = part.foldLeft(agg.createAggregationBuffer())(
+          (buf, v) => agg.update(buf, InternalRow(v)))
+        agg.deserialize(agg.serialize(b))
+      }.toList
+      val merged = partials.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val row = agg.eval(merged).asInstanceOf[InternalRow]
+      val n = row.getLong(0)
+      val ids = row.getArray(1).toLongArray().toSeq
+      val ref = vals.distinct.sorted
+      if (ref.size <= cap) n == ref.size && ids == ref
+      else n > cap && ids.size == cap + 1 && ids.toSet.subsetOf(ref.toSet) && ids == ids.sorted
+    }
+  }
+
   // --- media decoders: hostile containers can't hang, over-read, or escape ---
 
   private val byteSoup: Gen[Array[Byte]] =
