@@ -106,14 +106,24 @@ object SimilarityOps {
   /**
    * Train the coarse quantizer with MLlib k-means (seeded → deterministic for
    * a fixed input). Ontology-of-lists sizing: nLists ≈ √corpus is the usual
-   * heuristic; train on a sample at 100 TB — the quantizer needs distribution
-   * shape, not every row.
+   * heuristic. The training set is CAPPED at `maxTrainRows` via a
+   * deterministic hash-sample — the quantizer needs distribution SHAPE, not
+   * every row, and k-means over 10^10 corpus vectors would dominate the whole
+   * build. Hash-sampling (not `limit`) keeps the sample uniform in vec_id and
+   * independent of storage order — a `limit` would train only on the first
+   * partitions, which under clustered/bucketed layouts is one region of the
+   * space.
    */
   def trainIvf(embeddings: DataFrame, nLists: Int = 16, maxIter: Int = 10,
-               seed: Long = 42L): IvfIndex = {
+               seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = embeddings.select(
+    val n = embeddings.count()
+    val train =
+      if (n <= maxTrainRows) embeddings
+      else embeddings.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(math.max(1L, n / maxTrainRows))) === 0)
+    val vecs = train.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nLists).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("features").fit(vecs)

@@ -151,6 +151,19 @@ class PipelineSpec extends AnyFunSuite {
     // determinism: retraining with the same seed reproduces the index
     val index2 = graft.operators.SimilarityOps.trainIvf(emb, nLists = 10, seed = 7)
     assert(index2.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+    // capped-training path: a deterministic hash-sample (uniform in vec_id,
+    // not a storage-order limit) still yields a usable, deterministic index
+    val capped = graft.operators.SimilarityOps.trainIvf(
+      emb, nLists = 10, seed = 7, maxTrainRows = 100)
+    assert(capped.centroids.length == 10)
+    val cappedIvf = graft.operators.SimilarityOps
+      .annTopKIvf(emb, queries, capped, k = 5, nprobe = 3)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & cappedIvf).size.toDouble / exact.size >= 0.8,
+      "sample-trained quantizer must retain recall on clustered data")
+    val capped2 = graft.operators.SimilarityOps.trainIvf(
+      emb, nLists = 10, seed = 7, maxTrainRows = 100)
+    assert(capped2.centroids.map(_.toSeq).toSeq == capped.centroids.map(_.toSeq).toSeq)
   }
 
   test("J3 at scale: join-path canonicalization == driver-map path on >1e5 merge edges") {
