@@ -198,6 +198,8 @@ object Bench {
     // a crashing query must NOT be timed as a fast success (a regression
     // could masquerade as a speedup): its entry carries an "err" marker and
     // is excluded from the total
+    final case class QStat(name: String, min: Double, max: Double, n: Int,
+                           err: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -206,9 +208,21 @@ object Bench {
           catch { case t: Throwable => Some(t.toString) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val (t1, e1) = once()
-      val (t2, e2) = once()
-      (name, math.min(t1, t2), e1.orElse(e2))
+      val reps = scala.collection.mutable.ArrayBuffer(once(), once())
+      def oks = reps.collect { case (t, None) => t }
+      // adjudication rep: when the two clean samples spread > 25%, take a
+      // third — per-query (min,max,n) then lets the round artifact
+      // distinguish host drift from a real regression (round-3 verdict:
+      // q_xref_merge +62% was unanswerable from min-of-2 alone)
+      if (oks.size == reps.size && (oks.max - oks.min) > 0.25 * oks.min) reps += once()
+      if (oks.nonEmpty)
+        // a transient single-rep failure (GC/OOM blip) must not hide a clean
+        // timing: err is carried ONLY when every rep failed
+        QStat(name, oks.min, oks.max, oks.size, None)
+      else {
+        val ts = reps.map(_._1)
+        QStat(name, ts.min, ts.max, 0, reps.head._2)
+      }
     }
     spark1.stop()
 
@@ -217,11 +231,16 @@ object Bench {
     def jsonSafe(s: String): String =
       s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
     val qs = results.map {
-      case (k, v, None) => f""""$k":$v%.3f"""
-      case (k, v, Some(e)) => f""""$k":{"sec":$v%.3f,"err":"${jsonSafe(e)}"}"""
+      case QStat(k, v, _, _, None) => f""""$k":$v%.3f"""
+      case QStat(k, v, _, _, Some(e)) => f""""$k":{"sec":$v%.3f,"err":"${jsonSafe(e)}"}"""
     }.mkString("{", ",", "}")
-    val nErrs = results.count(_._3.isDefined)
-    val total = results.collect { case (_, v, None) => v }.sum
+    // per-query variance alongside the headline min: (min, max, n clean reps)
+    // — the drift-vs-regression adjudication data the round artifact lacked
+    val qStats = results.map { r =>
+      f""""${r.name}":{"min":${r.min}%.3f,"max":${r.max}%.3f,"n":${r.n}}"""
+    }.mkString("{", ",", "}")
+    val nErrs = results.count(_.err.isDefined)
+    val total = results.collect { case QStat(_, v, _, _, None) => v }.sum
     val scaling =
       f"""{"protocol":"N vs 4N cores on the same seed-fixed conv_id-bucketed parquet corpus (Iceberg layout, written once outside timing): headline = local[2] vs local[8] (per-core DRAM bandwidth constant, as when a cluster adds executors); local[8] vs local[32] saturates the single box's shared memory controller and is reported as efficiency_8_32 (roofline decomposition in BASELINE.md). Interleaved fresh-session rounds, min of passes, stability-terminated",""" +
         f""""n_turns":${turns(8)},"n_triples":${triples(8)},""" +
@@ -233,7 +252,7 @@ object Bench {
         f""""identical_output":$identical}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""query_errors":$nErrs,"sf":"$sfDir","scaling":$scaling}"""
+        s""""query_stats":$qStats,"query_errors":$nErrs,"sf":"$sfDir","scaling":$scaling}"""
     // belt and braces: the driver parses stdout, but sbt log decoration has
     // eaten the line before (round-1 parsed:null) — also persist to a
     // well-known file so the signal always lands.

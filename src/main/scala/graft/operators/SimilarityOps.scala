@@ -122,7 +122,11 @@ object SimilarityOps {
     val train =
       if (n <= maxTrainRows) embeddings
       else embeddings.filter(
-        pmod(xxhash64(col("vec_id"), lit(seed)), lit(math.max(1L, n / maxTrainRows))) === 0)
+        // CEILING divisor: floor(n/max) is 1 for max < n < 2*max (cap becomes
+        // a no-op) and overshoots by up to ~2x in general; ceil keeps the
+        // expected sample size <= maxTrainRows for every n
+        pmod(xxhash64(col("vec_id"), lit(seed)),
+          lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
     val vecs = train.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nLists).setMaxIter(maxIter).setSeed(seed)

@@ -47,8 +47,15 @@ object KgPipeline {
   val SaltBuckets = 8
 
   def standardizeOntology(spark: SparkSession, ontologyJsonPath: String, converter: Converter,
-                          prefix: Option[String] = None): (DataFrame, DataFrame) = {
-    val graphs = OboGraphReader.readGraphs(spark, ontologyJsonPath)
+                          prefix: Option[String] = None): (DataFrame, DataFrame) =
+    standardizeGraphs(OboGraphReader.readGraphs(spark, ontologyJsonPath), converter, prefix)
+
+  /** Graphs-first variant: callers that already hold the parsed graphs
+    * DataFrame (e.g. [[prepare]], which also derives equivalentNodesSets
+    * edges from it) pass it here, so the multiLine JSON document is parsed
+    * once per action — and both consumers provably see the SAME read. */
+  def standardizeGraphs(graphs: DataFrame, converter: Converter,
+                        prefix: Option[String] = None): (DataFrame, DataFrame) = {
     val nodes = GraphStandardizer.standardizeNodes(graphs, converter, prefix).cache()
     val edges = GraphStandardizer.standardizeEdges(graphs, converter).cache()
     (nodes, edges)
@@ -210,8 +217,8 @@ object KgPipeline {
               converter: Converter = MiniOntology.converter,
               prefix: Option[String] = Some("PATO"),
               extraLexicon: Option[DataFrame] = None): OntologyContext = {
-    val (nodes, edges) = standardizeOntology(spark, ontologyJsonPath, converter, prefix)
     val graphs = OboGraphReader.readGraphs(spark, ontologyJsonPath)
+    val (nodes, edges) = standardizeGraphs(graphs, converter, prefix)
     val ownLexicon = LiteralMappings.fromNodes(nodes, prefix.getOrElse("ONT"))
     val lexicon = extraLexicon.fold(ownLexicon)(x => ownLexicon.unionByName(x))
     // entity merge signals: node xrefs + equivalentNodesSets (both public

@@ -167,6 +167,11 @@ object SourceResolver {
                 // burning CPU and holding the drain pipe open
                 proc.descendants().forEach(h => { h.destroyForcibly(); () })
                 proc.destroyForcibly()
+                // destroyForcibly is ASYNC: without a grace wait the finally
+                // block's tmp delete can race the still-dying child re-creating
+                // tmp, stranding a stale .tmp.<pid> file (cache correctness is
+                // unaffected — tmp is never promoted — but the litter is real)
+                proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
                 messages += s"[${s.kind}] ${s.path} converter timed out after ${s.timeoutSec}s"
               } else {
                 drain.join(2000)

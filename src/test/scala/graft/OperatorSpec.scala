@@ -59,6 +59,17 @@ class OperatorSpec extends AnyFunSuite {
     val pairs = DedupOps.minhashNearDuplicates(df, threshold = 0.3, k = 16, bands = 8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+
+    // scan-count pin (round-3 verdict #1): the corpus text pipeline runs ONCE
+    // for candidate generation; the verify side shingles only the
+    // candidate-semi-joined docs, and both its join sides read a pinned
+    // checkpoint — so the FINAL plan must contain no text normalization
+    // (regexp_replace is the normText marker) and no re-derived minhash
+    // banding at all, only checkpoint scans + joins + the array-Jaccard
+    val plan = DedupOps.minhashNearDuplicates(df, threshold = 0.3, k = 16, bands = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_replace"), "corpus text pipeline recomputed in final plan")
+    assert(!plan.toLowerCase.contains("posexplode"), "banding recomputed in final plan")
   }
 
   test("simhash: identical texts distance 0; near texts within small Hamming") {
