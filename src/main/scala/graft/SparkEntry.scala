@@ -396,7 +396,16 @@ object SparkEntry {
         graft.operators.MultimodalOps.syntheticMediaContainers(s, 120)).toDF()),
     "q_media_wav" -> ((s, _) =>
       graft.operators.MultimodalOps.audioStats(
-        graft.operators.MultimodalOps.syntheticMediaContainers(s, 120)).toDF()))
+        graft.operators.MultimodalOps.syntheticMediaContainers(s, 120)).toDF()),
+
+    // --- REAL ENTROPY-CODED container (round-3 verdict item 3): channel sums
+    // of DECODED 8-bit PNGs — chunk CRC32s, the DEFLATE stream
+    // (java.util.zip.Inflater), all five scanline filters (row y carries
+    // filter y%5) and the RGBA alpha-drop are all on the value path; the
+    // oracle recomputes the sums from the generation formulas.
+    "q_media_png" -> ((s, _) =>
+      graft.operators.MultimodalOps.imageStats(
+        graft.operators.MultimodalOps.syntheticPngMedia(s, 100)).toDF()))
 
   // ---------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — one per SQL-expressible query above
@@ -819,6 +828,24 @@ object SparkEntry {
         |FROM range(0, 120) t(id)
         |CROSS JOIN range(0, 275) ii(i)
         |WHERE id % 3 = 1 AND i < 50 + (id % 10) * 25
+        |GROUP BY id""".stripMargin,
+
+    // formulas mirrored from MultimodalOps.syntheticPngMedia — the engine
+    // encodes real PNGs (DEFLATE + per-row filters + CRCs) and decodes them
+    // back; the oracle derives the decoded sums directly, pinning the whole
+    // entropy-coded round-trip (alpha is dropped by decode, so id%2==1 RGBA
+    // rows must produce the same sums as the RGB formula alone)
+    "q_media_png" ->
+      """SELECT CAST(id AS BIGINT) AS media_id,
+        |       CAST(9 + (id % 6) * 7 AS INT) AS width,
+        |       CAST(7 + (id % 4) * 9 AS INT) AS height,
+        |       CAST(SUM((x * 11 + y * 5 + id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((x * 3 + y * 13 + 5 * id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((x * 2 + y * 7 + 11 * id) % 256) AS BIGINT) AS sum_b
+        |FROM range(0, 100) t(id)
+        |CROSS JOIN range(0, 44) xs(x)
+        |CROSS JOIN range(0, 34) ys(y)
+        |WHERE x < 9 + (id % 6) * 7 AND y < 7 + (id % 4) * 9
         |GROUP BY id""".stripMargin,
 
     // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane

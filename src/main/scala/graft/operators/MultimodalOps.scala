@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
  *  - BMP (24-bit uncompressed) and WAV (PCM16 mono) are REAL zero-dependency
  *    decoders ([[decodeBmp]]/[[decodeWav]]) — header parsing, bottom-up row
  *    order, 4-byte row padding, chunk walking, little-endian samples;
+ *  - PNG (8-bit RGB/RGBA, non-interlaced) is a REAL entropy-coded decoder
+ *    ([[decodePng]]) on JDK-only primitives: chunk walk + CRC32 verify,
+ *    java.util.zip.Inflater for the DEFLATE stream, and all five scanline
+ *    filters (None/Sub/Up/Average/Paeth) unfiltered per spec;
  *  - every other container (JPEG/FLAC/H.264...) STAYS A STUB — this
  *    container ships no codec libraries, so [[fakeDecode]] derives a
  *    deterministic fake feature vector from the payload bytes. Swapping in a
@@ -191,11 +195,267 @@ object MultimodalOps {
     WavAudio(rate, samples)
   }
 
+  // -------------------------------------------------------------------------
+  // PNG (8-bit RGB / RGBA, non-interlaced): the one JDK-only ENTROPY-CODED
+  // container — DEFLATE via java.util.zip, CRC32 chunk integrity, and the
+  // five scanline predictors. Exercises the codec seam on a format with real
+  // compression, unlike BMP/WAV's raw payloads.
+  // -------------------------------------------------------------------------
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > PngSignature.length + 12 &&
+      PngSignature.indices.forall(i => b(i) == PngSignature(i))
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+    b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+  }
+
+  /** Paeth predictor (PNG spec §9.4): nearest of left/up/upper-left to a+b-c. */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /**
+   * Encode an 8-bit PNG. `rgba(x, y)` supplies pixels top-down; alpha is
+   * written only when `hasAlpha`. Each row carries filter type `y % 5`, so a
+   * round-trip exercises every predictor (None/Sub/Up/Average/Paeth) — the
+   * point of this encoder is to value-pin [[decodePng]]'s unfilter logic, not
+   * to optimize compression (a real encoder picks filters per-row by entropy).
+   */
+  def encodePng(width: Int, height: Int, hasAlpha: Boolean,
+                rgba: (Int, Int) => (Int, Int, Int, Int)): Array[Byte] = {
+    val bpp = if (hasAlpha) 4 else 3
+    val stride = width * bpp
+    // raw scanline stream: 1 filter byte + filtered pixel bytes per row
+    val raw = new Array[Byte](height * (1 + stride))
+    val prev = new Array[Byte](stride) // zero row above the first, per spec
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b, a) = rgba(x, y)
+        cur(x * bpp) = r.toByte; cur(x * bpp + 1) = g.toByte; cur(x * bpp + 2) = b.toByte
+        if (hasAlpha) cur(x * bpp + 3) = a.toByte
+        x += 1
+      }
+      val ft = y % 5
+      val off = y * (1 + stride)
+      raw(off) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cu = cur(i) & 0xFF
+        val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+        val up = prev(i) & 0xFF
+        val ul = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(off + 1 + i) = (cu - pred).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zbuf.toByteArray
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBe32(out, 0, data.length)
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      putBe32(out, 8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (hasAlpha) 6 else 2).toByte // color type: truecolor (+alpha)
+    // ihdr(10..12) = compression 0, filter 0, interlace 0
+    PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /**
+   * Decode an 8-bit RGB/RGBA non-interlaced PNG to top-down RGB (alpha
+   * dropped). Every header/chunk field is UNTRUSTED: chunk lengths are
+   * bounds-checked against the payload, chunk CRCs verified, the inflated
+   * byte count must equal the IHDR-derived scanline-stream size exactly
+   * (truncated or trailing DEFLATE output fails fast instead of decoding
+   * garbage), and the total raw size is Long-bounded before allocation.
+   */
+  def decodePng(b: Array[Byte]): BmpImage = {
+    require(isPng(b), "not a PNG payload")
+    var off = PngSignature.length
+    var width = 0; var height = 0; var bpp = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(off + 12 <= b.length, s"PNG truncated mid-chunk (off=$off, len=${b.length})")
+      val len = be32(b, off)
+      require(len >= 0 && off + 12L + len <= b.length,
+        s"PNG chunk length $len inconsistent with payload (off=$off, len=${b.length})")
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(b, off + 8 + len),
+        s"PNG chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "malformed IHDR")
+          width = be32(b, off + 8); height = be32(b, off + 12)
+          val bitDepth = b(off + 16) & 0xFF
+          val colorType = b(off + 17) & 0xFF
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 only)")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported color type $colorType (truecolor 2/6 only)")
+          require((b(off + 18) & 0xFF) == 0, "unsupported compression method")
+          require((b(off + 19) & 0xFF) == 0, "unsupported filter method")
+          require((b(off + 20) & 0xFF) == 0, "interlaced PNG unsupported")
+          bpp = if (colorType == 6) 4 else 3
+          // bound the raw allocation BEFORE trusting width*height: each
+          // dimension capped FIRST (<= 2^20) so the Long product below
+          // cannot itself overflow — Int.MaxValue² wraps Long negative and
+          // would sail through a product-only check — then the total
+          // scanline stream capped at 1 GiB
+          require(width > 0 && height > 0 &&
+            width <= (1 << 20) && height <= (1 << 20) &&
+            height.toLong * (1L + width.toLong * bpp) <= (1L << 30),
+            s"PNG dimensions out of bounds (${width}x$height)")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(b, off + 8, len)
+        case "IEND" => seenIend = true
+        case _      => () // ancillary chunks (tEXt, pHYs, ...) skipped
+      }
+      off += 12 + len
+    }
+    require(seenIhdr, "missing IHDR")
+    val stride = width * bpp
+    val rawSize = height * (1 + stride)
+    val raw = new Array[Byte](rawSize)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < rawSize && !inflater.finished()) {
+        val n = try inflater.inflate(raw, got, rawSize - got)
+        catch { case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"PNG DEFLATE stream corrupt: ${e.getMessage}")
+        }
+        if (n == 0 && inflater.needsInput())
+          throw new IllegalArgumentException("PNG DEFLATE stream truncated")
+        got += n
+      }
+      require(got == rawSize, s"PNG scanline stream short: $got of $rawSize bytes")
+      // any residual DEFLATE output means the stream disagrees with IHDR
+      val extra = new Array[Byte](1)
+      require(inflater.finished() || inflater.inflate(extra) == 0,
+        "PNG scanline stream longer than IHDR dimensions imply")
+    } finally inflater.end()
+
+    // unfilter in place, row by row (spec §9: predictors see UNFILTERED bytes)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1
+      val prevOff = rowOff - (1 + stride)
+      val ft = raw(rowOff - 1) & 0xFF
+      require(ft <= 4, s"PNG filter type $ft out of range")
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) raw(rowOff + i - bpp) & 0xFF else 0
+        val up = if (y > 0) raw(prevOff + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) raw(prevOff + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        raw(rowOff + i) = ((raw(rowOff + i) & 0xFF) + pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+
+    val rgb = new Array[Byte](width * height * 3)
+    y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < width) {
+        rgb((y * width + x) * 3) = raw(rowOff + x * bpp)
+        rgb((y * width + x) * 3 + 1) = raw(rowOff + x * bpp + 1)
+        rgb((y * width + x) * 3 + 2) = raw(rowOff + x * bpp + 2)
+        x += 1 // alpha byte (bpp=4) dropped
+      }
+      y += 1
+    }
+    BmpImage(width, height, rgb)
+  }
+
+  /** Sniff-and-decode for image containers with a real decoder (PNG/BMP). */
+  def decodeImage(b: Array[Byte]): BmpImage =
+    if (isPng(b)) decodePng(b) else decodeBmp(b)
+
+  /**
+   * Deterministic synthetic PNG media: every row is a REAL 8-bit PNG —
+   * alternating RGB / RGBA color types, per-row filter cycling through all
+   * five predictors (encodePng), pixels from the closed-form formulas below.
+   * The DuckDB oracle recomputes the DECODED channel sums from the same
+   * formulas (q_media_png), so chunk CRCs, DEFLATE round-trip, unfiltering
+   * and the RGBA alpha-drop are all value-checked.
+   *
+   * Formulas (mirrored verbatim in SparkEntry's q_media_png oracle — change
+   * together):
+   *   w = 9+(id%6)*7, h = 7+(id%4)*9, alpha channel present iff id%2==1
+   *   r=(x*11+y*5+id)%256, g=(x*3+y*13+5*id)%256, b=(x*2+y*7+11*id)%256
+   *   a=(x+y+id)%256 (dropped by decode; must not affect the sums)
+   */
+  def syntheticPngMedia(spark: SparkSession, n: Long): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        val w = (9 + (id % 6) * 7).toInt
+        val h = (7 + (id % 4) * 9).toInt
+        val payload = encodePng(w, h, hasAlpha = id % 2 == 1, (x, y) => (
+          ((x * 11 + y * 5 + id) % 256).toInt,
+          ((x * 3 + y * 13 + 5 * id) % 256).toInt,
+          ((x * 2 + y * 7 + 11 * id) % 256).toInt,
+          ((x + y + id) % 256).toInt))
+        Media(id, "image", payload, w, h, 0, 0)
+      }
+    }
+  }
+
   /**
    * STUB decode for containers WITHOUT a real decoder here (JPEG/FLAC/
    * H.264...) — everything around it (mapPartitions batching, per-partition
-   * decoder state, output schema) is the production shape. BMP/WAV payloads
-   * never reach this: [[extractFeatures]] sniffs magic bytes first.
+   * decoder state, output schema) is the production shape. BMP/WAV/PNG
+   * payloads never reach this: [[extractFeatures]] sniffs magic bytes first.
    */
   def fakeDecode(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     // deterministic byte-histogram "embedding" standing in for decoded features
@@ -284,13 +544,14 @@ object MultimodalOps {
     (sum, sq, max)
   }
 
-  /** REAL decode path: per-channel pixel sums of every BMP payload. Integer
-    * sums, so the oracle compare is exact (no float hashing). */
+  /** REAL decode path: per-channel pixel sums of every image payload
+    * (BMP or PNG, sniffed). Integer sums, so the oracle compare is exact
+    * (no float hashing). */
   def imageStats(media: Dataset[Media]): Dataset[ImageStats] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val img = decodeBmp(m.payload)
+      val img = decodeImage(m.payload)
       val (sr, sg, sb) = channelSums(img)
       ImageStats(m.media_id, img.width, img.height, sr, sg, sb)
     })
@@ -323,8 +584,8 @@ object MultimodalOps {
         // starting "BM"/"RIFF"), and one malformed container must not kill a
         // corpus-scale job — any decode failure falls back to the stub features
         val feats = try {
-          if (isBmp(m.payload)) {
-            val img = decodeBmp(m.payload)
+          if (isBmp(m.payload) || isPng(m.payload)) {
+            val img = decodeImage(m.payload)
             val (sr, sg, sb) = channelSums(img)
             val nPix = (img.width * img.height).toFloat max 1f
             val f = new Array[Float](dim)

@@ -142,6 +142,79 @@ class OperatorSpec extends AnyFunSuite {
     assert(rt.sampleRate == 8000 && rt.samples.toSeq == Seq(-2000, 0, 1999, -32768, 32767))
   }
 
+  test("PNG decode: independent golden container; all-filter round-trip; alpha drop") {
+    // independent byte-level construction (chunk layout, CRC32, DEFLATE via
+    // raw Deflater, filter-0 rows) — does NOT go through encodePng, so a
+    // matching encoder/decoder bug pair cannot cancel out
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      val td = typ.getBytes("US-ASCII") ++ data
+      crc.update(td)
+      be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]) = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf)); d.end(); out.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    // 2x2 RGB, filter 0 rows: (10,20,30)(40,50,60) / (70,80,90)(200,210,220)
+    val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60,
+                          0, 70, 80, 90, 200.toByte, 210.toByte, 220.toByte)
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 0)
+    val golden = sig ++ chunk("IHDR", ihdr) ++
+      chunk("tEXt", "comment".getBytes) ++ // ancillary chunk must be skipped
+      chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    val img = MultimodalOps.decodePng(golden)
+    assert((img.width, img.height) == (2, 2))
+    assert(img.rgb.map(_ & 0xFF).toSeq == Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220))
+
+    // encoder round-trip, height >= 5 so rows carry ALL filter types 0-4
+    val rt = MultimodalOps.decodePng(MultimodalOps.encodePng(7, 6, hasAlpha = false,
+      (x, y) => ((x * 41 + y * 13) % 256, (x * 7 + y * 91) % 256, (x + y * 3) % 256, 0)))
+    assert(rt.width == 7 && rt.height == 6)
+    for (y <- 0 until 6; x <- 0 until 7) {
+      assert((rt.rgb((y * 7 + x) * 3) & 0xFF) == (x * 41 + y * 13) % 256, s"R($x,$y)")
+      assert((rt.rgb((y * 7 + x) * 3 + 1) & 0xFF) == (x * 7 + y * 91) % 256, s"G($x,$y)")
+      assert((rt.rgb((y * 7 + x) * 3 + 2) & 0xFF) == (x + y * 3) % 256, s"B($x,$y)")
+    }
+    // RGBA round-trip: alpha is carried through filtering but DROPPED by
+    // decode — RGB output must be identical to the alpha-free encoding
+    val rgbaImg = MultimodalOps.decodePng(MultimodalOps.encodePng(6, 5, hasAlpha = true,
+      (x, y) => (x * 17 % 256, y * 29 % 256, (x ^ y) % 256, (x + y) % 256)))
+    val rgbImg = MultimodalOps.decodePng(MultimodalOps.encodePng(6, 5, hasAlpha = false,
+      (x, y) => (x * 17 % 256, y * 29 % 256, (x ^ y) % 256, 0)))
+    assert(rgbaImg.rgb.toSeq == rgbImg.rgb.toSeq)
+
+    // hostile containers fail fast with a typed error:
+    val ok = MultimodalOps.encodePng(4, 4, hasAlpha = false, (x, y) => (x, y, 0, 0))
+    // (a) flip one IDAT byte → CRC mismatch
+    val crcBad = ok.clone(); crcBad(sig.length + 25 + 8 + 3) = (crcBad(sig.length + 25 + 8 + 3) ^ 1).toByte
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(crcBad))
+    // (b) truncated payload (IEND cut off mid-chunk)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(ok.dropRight(6)))
+    // (c) chunk length pointing past the payload
+    val lenBad = ok.clone(); be32(1 << 20).copyToArray(lenBad, sig.length + 25)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(lenBad))
+    // (d) IHDR claiming more rows than the DEFLATE stream holds — rebuild
+    // with a consistent CRC so the SIZE check (not the CRC) is what fires
+    val bigIhdr = be32(4) ++ be32(400) ++ Array[Byte](8, 2, 0, 0, 0)
+    val shortStream = sig ++ chunk("IHDR", bigIhdr) ++
+      chunk("IDAT", deflate(new Array[Byte](4 * 13))) ++ chunk("IEND", Array.emptyByteArray)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(shortStream))
+    // (e) interlaced flag unsupported → loud, not garbage pixels
+    val interIhdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 1)
+    val interlaced = sig ++ chunk("IHDR", interIhdr) ++
+      chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(interlaced))
+    // (f) hostile dims: no giant allocation before the Long-bounded check
+    val hugeIhdr = be32(Int.MaxValue) ++ be32(Int.MaxValue) ++ Array[Byte](8, 2, 0, 0, 0)
+    val huge = sig ++ chunk("IHDR", hugeIhdr) ++
+      chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(huge))
+  }
+
   test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {
     import spark.implicits._
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)

@@ -201,4 +201,23 @@ object GraftProperties extends Properties("graft") {
       try { graft.operators.MultimodalOps.decodeWav(payload); true }
       catch { case _: IllegalArgumentException => true }
     }
+
+  property("decodePng on arbitrary signature-prefixed bytes: decodes or IllegalArgumentException") =
+    forAll(byteSoup) { noise =>
+      val payload = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++ noise
+      try { graft.operators.MultimodalOps.decodePng(payload); true }
+      catch { case _: IllegalArgumentException => true } // any other escape (or a hang) fails
+    }
+
+  property("decodePng on a valid PNG with corrupted tail bytes: decodes or IllegalArgumentException") =
+    forAll(Gen.chooseNum(0, 200), Gen.chooseNum(-128, 127).map(_.toByte)) { (pos, junk) =>
+      // structured fuzz: single-byte corruption of a REAL container reaches
+      // deep states (mid-DEFLATE, mid-chunk) that pure byte soup never does
+      val ok = graft.operators.MultimodalOps.encodePng(5, 5, hasAlpha = false,
+        (x, y) => (x * 31, y * 17, x + y, 0))
+      val i = 8 + pos % (ok.length - 8)
+      val bad = ok.clone(); bad(i) = junk
+      try { graft.operators.MultimodalOps.decodePng(bad); true }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
