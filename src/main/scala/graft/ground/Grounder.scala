@@ -174,6 +174,13 @@ object Grounder {
     }
   }
 
+  /** Hard bound on distinct normalized patterns collected to the driver.
+    * ~2M pattern rows (with entry structs) is a few GiB of driver heap —
+    * within a production driver's budget but a deliberate ceiling: a
+    * UMLS-scale (~4M-term) lexicon would otherwise stress driver memory
+    * SILENTLY, surfacing as a mid-build OOM instead of a diagnosis. */
+  val MaxDriverPatterns = 2000000L
+
   /**
    * Build from a literal_mappings DataFrame (columns prefix, id, name,
    * predicate, text). The groupBy on NORMALIZED text happens in Spark — the
@@ -181,10 +188,17 @@ object Grounder {
    * path) and the driver collects one row per DISTINCT normalized pattern,
    * not one per raw lexicon row: a huge lexicon aggregates before it ever
    * touches the driver (round-1 collected raw rows and grouped driver-side).
+   *
+   * The collect is HARD-BOUNDED at `maxPatterns` via a limit probe (one job,
+   * at most maxPatterns+1 rows ever reach the driver — the same cost-switch
+   * shape as KgPipeline.xrefCanonicalMap); an over-cap lexicon fails loudly
+   * with a strategy pointer instead of OOMing the driver.
    */
   def build(literalMappings: DataFrame,
-            canonical: Map[String, String] = Map.empty): Grounder = {
+            canonical: Map[String, String] = Map.empty,
+            maxPatterns: Long = MaxDriverPatterns): Grounder = {
     val normUdf = udf((s: String) => AhoCorasick.normalize(s))
+    val limitInt = math.min(maxPatterns, Int.MaxValue - 2L).toInt
     val grouped = literalMappings
       .select(col("prefix"), col("id"), coalesce(col("name"), col("text")).as("name"),
         col("predicate"), col("text"))
@@ -193,7 +207,16 @@ object Grounder {
       .groupBy(col("norm"))
       .agg(collect_list(struct(col("prefix"), col("id"), col("name"),
         col("predicate"), col("text"))).as("es"))
+      .limit(limitInt + 1)
       .collect()
+    if (grouped.length > limitInt)
+      throw new IllegalStateException(
+        s"lexicon exceeds $maxPatterns distinct normalized patterns — too large " +
+          "for one driver-built automaton. Either raise maxPatterns to match the " +
+          "driver's actual heap, or shard the pattern space: build N grounders " +
+          "from disjoint hash slices of the lexicon (filter on " +
+          "pmod(xxhash64(text), N)) and union the mentions each detects — " +
+          "detection semantics are per-pattern, so the union is exact.")
 
     // deterministic order regardless of partitioning: patterns sorted, and
     // per-pattern entries sorted by (prefix, id, predicate, text)

@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
  *   root/<table>/snapshots/<id>.json              manifest: row count, per-partition counts, parent, tag
  *   root/<table>/current                          pointer file: latest snapshot id
  *
- * Writes are atomic-enough for a single driver: data first, manifest second,
- * pointer last — a crashed write leaves the previous snapshot current, which
- * is exactly the resume contract (kill after stage k → rerun reuses every
- * stage whose manifest landed; BASELINE.md resumability row).
+ * Writes are atomic-enough for a single driver: data first, manifest second
+ * (temp + ATOMIC_MOVE — a concurrent findByTag can never read a half-written
+ * manifest), pointer last — a crashed write leaves the previous snapshot
+ * current, which is exactly the resume contract (kill after stage k → rerun
+ * reuses every stage whose manifest landed; BASELINE.md resumability row).
+ *
+ * Concurrency: safe for MULTIPLE THREADS of one driver (a parallel bulk
+ * sweep writing different jobs' snapshots): ids are allocated from a
+ * per-instance counter seeded from disk, so two concurrent writes can never
+ * claim the same snapshot id, and the `current` pointer only ever advances.
+ * NOT safe for multiple independent driver PROCESSES on one root.
  */
 final class Icelite(rootDir: String) extends Serializable {
 
@@ -34,6 +41,40 @@ final class Icelite(rootDir: String) extends Serializable {
   def currentSnapshotId(table: String): Option[Long] = {
     val p = tableDir(table).resolve("current")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong) else None
+  }
+
+  /** Per-table id counter (lazy so deserialized copies re-seed from disk). */
+  @transient private lazy val idCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Highest id known on disk: manifests win over the pointer (expiry can
+    * leave `current` behind a tagged-but-newer snapshot; a crashed write can
+    * leave a manifest above `current`). */
+  private def maxSnapshotId(table: String): Long = {
+    val snaps = tableDir(table).resolve("snapshots")
+    val fromManifests =
+      if (!Files.exists(snaps)) 0L
+      else {
+        val stream = Files.list(snaps)
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .flatMap(n => n.stripSuffix(".json").toLongOption)
+          .foldLeft(0L)(math.max)
+        finally stream.close()
+      }
+    math.max(fromManifests, currentSnapshotId(table).getOrElse(0L))
+  }
+
+  /** Allocate the next snapshot id — unique across concurrent writers. */
+  private def allocateId(table: String): Long = this.synchronized {
+    val c = idCounters.computeIfAbsent(table,
+      t => new java.util.concurrent.atomic.AtomicLong(maxSnapshotId(t)))
+    // re-sync with disk in case another Icelite instance (tests, tooling)
+    // wrote to the same root between our writes
+    val disk = maxSnapshotId(table)
+    if (c.get() < disk) c.set(disk)
+    c.incrementAndGet()
   }
 
   /** Tags are stored JSON-safe; probe and store MUST sanitize identically or
@@ -71,7 +112,7 @@ final class Icelite(rootDir: String) extends Serializable {
                     partitionBy: Seq[String] = Nil): Long = {
     val dir = tableDir(table)
     Files.createDirectories(dir.resolve("snapshots"))
-    val id = currentSnapshotId(table).getOrElse(0L) + 1L
+    val id = allocateId(table)
     val dataPath = dir.resolve(s"data/snap-$id")
 
     val persisted = df.persist()
@@ -90,13 +131,64 @@ final class Icelite(rootDir: String) extends Serializable {
         s"""{"snapshot_id":$id,"parent_id":${currentSnapshotId(table).getOrElse(-1L)},""" +
           s""""row_count":$rowCount,"tag":"$safeTag","data_path":"$dataPath",""" +
           s""""partition_counts":{${partCounts.map { case (p, c) => s""""$p":$c""" }.mkString(",")}}}"""
-      Files.write(dir.resolve(s"snapshots/$id.json"), manifest.getBytes("UTF-8"),
+      // manifest lands ATOMICALLY: a concurrent findByTag either sees the
+      // complete manifest or no manifest — never a prefix that would parse
+      // as "tag absent" and trigger a duplicate computation's write
+      val mfTmp = dir.resolve(s"snapshots/$id.json.tmp")
+      Files.write(mfTmp, manifest.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.write(dir.resolve("current"), id.toString.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(mfTmp, dir.resolve(s"snapshots/$id.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the pointer only ADVANCES: with concurrent writers, a slower write
+      // of an older id must not roll `current` back past a committed newer one
+      this.synchronized {
+        if (currentSnapshotId(table).forall(_ < id))
+          Files.write(dir.resolve("current"), id.toString.getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      }
       id
     } finally persisted.unpersist()
   }
+
+  /**
+   * Snapshot EXPIRY (retention vacuum): delete all snapshots except the
+   * newest `keepLast`, any carrying a tag in `keepTags`, and the `current`
+   * pointer target. Without this, a long-running incremental deployment
+   * accumulates every snapshot's data dir forever.
+   *
+   * Deletion order preserves the resume contract under a crash mid-vacuum:
+   * the manifest goes FIRST (so findByTag can never resolve a snapshot whose
+   * data is half-deleted — it recomputes instead), then the data directory.
+   *
+   * @return ids actually expired
+   */
+  def expireSnapshots(table: String, keepLast: Int, keepTags: Seq[String] = Nil): Seq[Long] =
+    this.synchronized {
+      require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+      val snaps = tableDir(table).resolve("snapshots")
+      if (!Files.exists(snaps)) return Nil
+      val stream = Files.list(snaps)
+      val ids = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => n.stripSuffix(".json").toLongOption)
+        .toSeq.sorted
+      finally stream.close()
+      val keepByTag = keepTags.flatMap(t => findByTag(table, t)).toSet
+      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ currentSnapshotId(table)
+      val expired = ids.filterNot(keep)
+      expired.foreach { id =>
+        Files.deleteIfExists(snaps.resolve(s"$id.json"))
+        val dataDir = tableDir(table).resolve(s"data/snap-$id")
+        if (Files.exists(dataDir)) {
+          val walk = Files.walk(dataDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }
+      expired
+    }
 
   def readSnapshot(spark: SparkSession, table: String, id: Option[Long] = None): DataFrame = {
     val sid = id.orElse(currentSnapshotId(table))

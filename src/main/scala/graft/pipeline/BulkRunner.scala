@@ -19,14 +19,36 @@ object BulkRunner {
   final case class JobReport(prefix: String, ok: Boolean, version: Option[String],
                              triples: Long, messages: Seq[String])
 
+  /** Per-job lifecycle events (progress logging; also how the concurrency
+    * test observes overlap without instrumenting Spark internals). The
+    * callback runs on the job's worker thread — keep it cheap and thread-safe. */
+  sealed trait JobEvent { def prefix: String }
+  final case class JobStarted(prefix: String) extends JobEvent
+  final case class JobFinished(prefix: String, ok: Boolean) extends JobEvent
+
+  /**
+   * @param parallelism max ontology jobs in flight at once. The reference's
+   *   sweep is strictly sequential (from_bioregistry.py:27-36) — fine for one
+   *   laptop, but at 1.2k prefixes a CLUSTER idles between tiny ontology
+   *   jobs: driver-side prep (parse, automaton build) of job k+1 can overlap
+   *   job k's corpus stages. Jobs run on a bounded driver thread pool, each
+   *   under its own Spark scheduler pool (fair-scheduler deployments get
+   *   cross-job fairness; FIFO ignores the property harmlessly). Reports
+   *   come back in INPUT order regardless of completion order.
+   */
   def run(spark: SparkSession,
           jobs: Seq[OntologyJob],
           transcripts: DataFrame,
           converter: Converter,
-          icelite: Option[Icelite] = None): Seq[JobReport] = {
-    jobs.map { job =>
+          icelite: Option[Icelite] = None,
+          parallelism: Int = 1,
+          progress: JobEvent => Unit = _ => ()): Seq[JobReport] = {
+    require(parallelism >= 1, s"parallelism must be >= 1 (got $parallelism)")
+
+    def runOne(job: OntologyJob): JobReport = {
+      progress(JobStarted(job.prefix))
       // P8 canonical-prefix guard (robot.py:132-133): hard, driver-side
-      converter.normalizePrefix(job.prefix) match {
+      val report = converter.normalizePrefix(job.prefix) match {
         case None =>
           JobReport(job.prefix, ok = false, None, 0L,
             Seq(s"'${job.prefix}' is not a canonical prefix"))
@@ -57,6 +79,31 @@ object BulkRunner {
               }
           }
       }
+      progress(JobFinished(report.prefix, report.ok))
+      report
+    }
+
+    if (parallelism == 1) jobs.map(runOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        parallelism,
+        (r: Runnable) => {
+          val t = new Thread(r); t.setDaemon(true); t.setName("graft-bulk"); t
+        })
+      try {
+        val futures = jobs.map { job =>
+          pool.submit(new java.util.concurrent.Callable[JobReport] {
+            override def call(): JobReport = {
+              // per-job scheduler pool: local properties are per-thread, so
+              // each job's stages land in their own pool
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bulk-${job.prefix}")
+              try runOne(job)
+              finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
+          })
+        }
+        futures.map(_.get())
+      } finally pool.shutdown()
     }
   }
 

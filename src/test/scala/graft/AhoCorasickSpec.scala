@@ -26,6 +26,33 @@ class AhoCorasickSpec extends AnyFunSuite {
     assert(ac.findAll("rejoin").isEmpty)
   }
 
+  test("astral-plane boundary golden: supplementary letters do NOT block a match (per-UTF-16-unit semantics)") {
+    // DOCUMENTED ENGINE SEMANTICS (SparkEntry q_pipeline_triples oracle note):
+    // word boundaries are judged per UTF-16 UNIT via Character.isLetterOrDigit
+    // (Char). A supplementary-plane letter like 𝕏 (U+1D54F, MATHEMATICAL
+    // DOUBLE-STRUCK CAPITAL X) is two surrogate units, each of category Cs —
+    // NOT letter-or-digit — so, unlike a BMP letter, it counts as a word
+    // BOUNDARY. Full-codepoint semantics would suppress these matches; this
+    // golden pins the engine's own choice so the documented limitation
+    // cannot silently drift (round-3 verdict item 8).
+    val ac = AhoCorasick.build(Seq("cell"))
+    val astral = "𝕏" // 𝕏
+    // BMP letter adjacency suppresses (the boundary rule working as intended)
+    assert(ac.findAll("xcell").isEmpty)
+    assert(ac.findAll("cellx").isEmpty)
+    // astral letter adjacency does NOT suppress — and the span coordinates
+    // are UTF-16 (astral prefix occupies TWO units)
+    assert(ac.findAll(astral + "cell").map(m => (m._1, m._2)) == Seq((2, 6)))
+    assert(ac.findAll("cell" + astral).map(m => (m._1, m._2)) == Seq((0, 4)))
+    assert(ac.findAll(astral + "cell" + astral).map(m => (m._1, m._2)) == Seq((2, 6)))
+    // the fused byte scanner agrees with the materializing path on the same input
+    val hits = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    ac.newScanner().scan(
+      org.apache.spark.unsafe.types.UTF8String.fromString(astral + "cell" + astral),
+      (s, e, p) => hits += ((s, e, p)))
+    assert(hits.map(m => (m._1, m._2)).toSeq == Seq((2, 6)))
+  }
+
   test("multi-word pattern and overlapping patterns all emitted") {
     val ac = AhoCorasick.build(Seq("hash join", "join", "hash"))
     val m = ac.findAll("a hash join b")

@@ -473,6 +473,22 @@ class OperatorSpec extends AnyFunSuite {
       g.ground("alpha beta").map(m => (m.prefix, m.id)))
   }
 
+  test("grounder build is HARD-BOUNDED: over-cap lexicon fails loudly, never OOMs the driver") {
+    import graft.ground.Grounder
+    val df = Seq(
+      ("PATO", "0000001", "apoptosis", "rdfs:label", "apoptosis"),
+      ("PATO", "0000002", "necrosis", "rdfs:label", "necrosis"),
+      ("PATO", "0000003", "fibrosis", "rdfs:label", "fibrosis"))
+      .toDF("prefix", "id", "name", "predicate", "text")
+    // planted over-cap: 3 distinct patterns against a cap of 2 → loud failure
+    // with a strategy pointer, not a silent driver collect (round-3 verdict #5)
+    val e = intercept[IllegalStateException](Grounder.build(df, maxPatterns = 2))
+    assert(e.getMessage.contains("distinct normalized patterns"))
+    assert(e.getMessage.contains("shard the pattern space"))
+    // the bound is inclusive: exactly-at-cap builds fine and completely
+    assert(Grounder.build(df, maxPatterns = 3).automaton.patterns.length == 3)
+  }
+
   test("near-dup groups + survivors: components collapse to numeric-min doc, others untouched") {
     // pairs: {1,5,9} chained, {20,30} direct; 7 is in no pair
     val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("a", "b")

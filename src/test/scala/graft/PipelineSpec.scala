@@ -94,6 +94,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(manifest.contains("row_count"))
   }
 
+  test("icelite expiry: expired data gone, current + tagged snapshots survive, resume intact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val ic = new Icelite("target/icelite_expire_" + System.nanoTime())
+    val ids = (1 to 4).map { i =>
+      ic.writeSnapshot(Seq((i, s"v$i")).toDF("k", "v"), "t", tag = s"tag$i")
+    }
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    val expired = ic.expireSnapshots("t", keepLast = 1, keepTags = Seq("tag2"))
+    assert(expired == Seq(1L, 3L))
+    Seq(1L, 3L).foreach { id =>
+      assert(!Files.exists(Paths.get(ic.root, "t", "data", s"snap-$id")), s"snap-$id data survived")
+      assert(!Files.exists(Paths.get(ic.root, "t", "snapshots", s"$id.json")), s"$id manifest survived")
+    }
+    // current (4) still readable; tag-kept snapshot (2) still resolvable + readable
+    assert(ic.currentSnapshotId("t").contains(4L))
+    assert(ic.readSnapshot(spark, "t").collect().map(_.getString(1)).toSeq == Seq("v4"))
+    assert(ic.findByTag("t", "tag2").contains(2L))
+    assert(ic.readSnapshot(spark, "t", Some(2L)).collect().map(_.getString(1)).toSeq == Seq("v2"))
+    // resume contract: a kept tag REUSES without recompute...
+    var computed = false
+    val re = ic.materialize(spark, "t", "tag2") {
+      computed = true; Seq((9, "recomputed")).toDF("k", "v")
+    }
+    assert(!computed, "kept tag was recomputed")
+    assert(re.collect().map(_.getString(1)).toSeq == Seq("v2"))
+    // ...and an EXPIRED tag recomputes into a FRESH id (id allocation reads
+    // max of manifests AND pointer, so the new snapshot cannot collide)
+    val re3 = ic.materialize(spark, "t", "tag3") {
+      computed = true; Seq((9, "recomputed")).toDF("k", "v")
+    }
+    assert(computed && re3.collect().map(_.getString(1)).toSeq == Seq("recomputed"))
+    assert(ic.currentSnapshotId("t").contains(5L))
+  }
+
   test("ANN LSH: beats random-scan baseline on isotropic data, near-exact on clustered data") {
     import spark.implicits._
     // (a) driver-provided embeddings are ISOTROPIC random (top-5 cosine ≈0.32,
@@ -261,6 +296,35 @@ class PipelineSpec extends AnyFunSuite {
       Transcripts.synthetic(spark, 30), MiniOntology.converter)
     assert(reports(0).ok, reports(0).messages.mkString("; "))
     assert(reports(0).triples > 0)
+  }
+
+  test("bulk runner parallel: >=2 jobs in flight at once; reports identical to sequential") {
+    import graft.pipeline.BulkRunner
+    import graft.sources.SourceResolver._
+    val tr = Transcripts.synthetic(spark, 40)
+    val jobs = Seq(
+      BulkRunner.OntologyJob("pato", Seq(JsonSource(ontPath))),
+      BulkRunner.OntologyJob("PATO", Seq(JsonSource(ontPath))),
+      BulkRunner.OntologyJob("nonsense_prefix", Seq(JsonSource(ontPath))),
+      BulkRunner.OntologyJob("pato", Seq(JsonSource(ontPath))))
+    val seq = BulkRunner.run(spark, jobs, tr, MiniOntology.converter)
+    // concurrency proof, DETERMINISTIC: every job's start blocks until TWO
+    // jobs have started (bounded await). Under real parallelism both worker
+    // threads enter JobStarted almost immediately and release each other; a
+    // sequential implementation can never have two starts outstanding, so
+    // the await times out and the flag records the failure.
+    val started = new java.util.concurrent.CountDownLatch(2)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val par = BulkRunner.run(spark, jobs, tr, MiniOntology.converter, icelite = None,
+      parallelism = 2, progress = {
+        case BulkRunner.JobStarted(_) =>
+          started.countDown()
+          if (!started.await(60, java.util.concurrent.TimeUnit.SECONDS)) overlapped.set(false)
+        case _ => ()
+      })
+    assert(overlapped.get(), "two bulk jobs never ran concurrently")
+    // completion order may differ; REPORTED order and content must not
+    assert(par == seq)
   }
 
   test("S3-S5: ConvertedSource runs an external converter, caches, and resolves") {
