@@ -244,6 +244,31 @@ object Grounder {
     val surfaces = sorted.map(_._2.head._2)
     new Grounder(AhoCorasick.build(patterns.toIndexedSeq), entries, surfaces)
   }
+
+  /**
+   * N-way PATTERN-SPACE sharding for lexicons beyond one driver automaton
+   * (the strategy [[build]]'s over-cap failure points at): shard by hash of
+   * the NORMALIZED pattern text — all raw spellings of one pattern
+   * ("Alpha Beta" / "alpha-beta") co-locate, because they normalize
+   * identically — and build one [[Grounder]] per shard.
+   *
+   * EXACTNESS: detection is per-pattern, and a matched span's surface IS its
+   * normalized pattern, so any span is matched by exactly one shard's
+   * automaton; the union of the shards' mentions equals the single-automaton
+   * result, including span-local top-1 (equivalence-tested). Each shard's
+   * build pays its own distributed aggregation but collects only its slice.
+   */
+  def buildSharded(literalMappings: DataFrame, nShards: Int,
+                   canonical: Map[String, String] = Map.empty,
+                   maxPatterns: Long = MaxDriverPatterns): Seq[Grounder] = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val normUdf = udf((s: String) => AhoCorasick.normalize(s))
+    (0 until nShards).map { i =>
+      build(literalMappings.filter(
+        pmod(xxhash64(normUdf(col("text"))), lit(nShards)) === i),
+        canonical, maxPatterns)
+    }
+  }
 }
 
 /**
@@ -273,6 +298,19 @@ object MentionDetector {
    */
   def detectTop(turns: Dataset[Turn], grounder: Broadcast[Grounder]): Dataset[Mention] =
     detectTopSlim(slim(turns.toDF()), grounder)
+
+  /**
+   * Sharded-lexicon detection: one pass per shard automaton, results
+   * unioned — exact vs the single-automaton result (see
+   * [[Grounder.buildSharded]]). The trade is explicit: N corpus scans buy an
+   * N-fold smaller per-executor automaton footprint; use only when one
+   * automaton genuinely exceeds the driver/executor budget.
+   */
+  def detectTopSlimSharded(turns: Dataset[SlimTurn],
+                           grounders: Seq[Broadcast[Grounder]]): Dataset[Mention] = {
+    require(grounders.nonEmpty, "need at least one grounder shard")
+    grounders.map(g => detectTopSlim(turns, g)).reduce(_ union _)
+  }
 
   /** Preferred scale path: slim projection in, fused top-1 out. */
   def detectTopSlim(turns: Dataset[SlimTurn], grounder: Broadcast[Grounder],

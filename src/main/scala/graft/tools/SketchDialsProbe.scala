@@ -1,0 +1,182 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/**
+ * Scale-validation of the sketch dials (round-3 verdict item 2): every
+ * LSH/banding parameter was tuned at sf ≤ 0.1 (≤ 5k docs), where the oracle
+ * checks exactness but says nothing about RECALL at production dials on a
+ * bigger corpus. This probe:
+ *
+ *  1. generates a deterministic documents table at ~10× the sf0.1 scale
+ *     (default 50k base docs + planted near-duplicates), with the planted
+ *     pairs' similarity CONTROLLED by a per-pair token-mutation rate — so
+ *     ground truth is a bounded exact computation on the planted pairs, not
+ *     an all-pairs scan;
+ *  2. runs minhash candidate generation at the production dial ladder
+ *     r = 1 / 2 / 4 (k=16 with bands 16/8/4) and reports candidate recall
+ *     against the exact shingle-Jaccard predicate, plus candidate volume
+ *     (the efficiency side of the dial);
+ *  3. runs embedding LSH at planes = 16 vs 20 on planted cosine near-dups
+ *     and reports the same recall/volume trade.
+ *
+ * Prints ONE JSON line; results are recorded in BASELINE.md. Theory says
+ * P[candidate | J] = 1 − (1 − J^r)^b for minhash — the probe's measured
+ * recall is checked against that curve by eye in BASELINE.md, not asserted
+ * here (this is an experiment artifact, not a unit test).
+ */
+object SketchDialsProbe {
+
+  /** Deterministic corpus with planted near-duplicates. Base doc `id` draws
+    * `len(id)` tokens from a 5k-word vocabulary (per-id seeded RNG →
+    * partition-order independent). For id < nDup, a twin with doc_id =
+    * id + DupOffset replaces each token independently with probability
+    * p(id) ∈ {0.02, 0.05, 0.1, 0.2} — spanning shingle-Jaccard ≈ 0.89 /
+    * 0.75 / 0.57 / 0.34, i.e. both sides of every interesting threshold. */
+  val DupOffset = 10000000L
+  val MutationRates = Array(0.02, 0.05, 0.10, 0.20)
+
+  def syntheticDocs(spark: SparkSession, nBase: Long, nDup: Long): DataFrame = {
+    import spark.implicits._
+    require(nDup <= nBase)
+    spark.range(nBase).mapPartitions { it =>
+      it.flatMap { boxed =>
+        val id: Long = boxed // spark.range yields java.lang.Long; unify early
+        val rng = new scala.util.Random(7700 + id)
+        val len = 80 + rng.nextInt(120)
+        val toks = Array.fill(len)(f"w${rng.nextInt(5000)}%05d")
+        val base = (id, toks.mkString(" "))
+        if (id < nDup) {
+          val p = MutationRates((id % MutationRates.length).toInt)
+          val rng2 = new scala.util.Random(8800 + id)
+          val mut = toks.map(t => if (rng2.nextDouble() < p) f"m${rng2.nextInt(5000)}%05d" else t)
+          Seq(base, (id + DupOffset, mut.mkString(" ")))
+        } else Seq(base)
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  /** Deterministic embeddings with planted cosine near-dups: twin = base +
+    * noise·scale, scale ∈ {0.15, 0.3, 0.45} → cos ≈ 0.989 / 0.957 / 0.912
+    * (the last is a planted NEGATIVE for threshold 0.95). */
+  val NoiseScales = Array(0.15, 0.30, 0.45)
+
+  def syntheticEmbeddings(spark: SparkSession, nBase: Long, nDup: Long,
+                          dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase).mapPartitions { it =>
+      it.flatMap { boxed =>
+        val id: Long = boxed
+        val rng = new scala.util.Random(9900 + id)
+        val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+        if (id < nDup) {
+          val s = NoiseScales((id % NoiseScales.length).toInt)
+          val w = v.map(x => (x + s * rng.nextGaussian()).toFloat)
+          Seq((id, v.toSeq), (id + DupOffset, w.toSeq))
+        } else Seq((id, v.toSeq))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val nBase = sys.env.getOrElse("SKETCH_PROBE_DOCS", "50000").toLong
+    val nDup = nBase / 10
+    val threshold = 0.7
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .appName("graft-sketch-dials")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config(graft.SparkDefaults.ExcludedRulesKey, graft.SparkDefaults.ExcludedRules)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- minhash ----------------------------------------------------------
+    val docs = syntheticDocs(spark, nBase, nDup).localCheckpoint(true)
+    // exact ground truth on the PLANTED pairs only (bounded: nDup rows)
+    val sh = DedupOps.shingleArray(docs).localCheckpoint(true)
+    val planted = spark.range(nDup)
+      .select(col("id").as("a"), (col("id") + DupOffset).as("b"))
+    val exact = planted
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+      .select(col("a"), col("b"),
+        DedupOps.shingleJaccardFromArrays(col("sh_a"), col("sh_b")).as("j"))
+      .localCheckpoint(true)
+    val positives = exact.filter(col("j") >= threshold).localCheckpoint(true)
+    val nPos = positives.count()
+
+    val minhashResults = Seq((16, 16), (16, 8), (16, 4)).map { case (k, bands) =>
+      val t0 = System.nanoTime()
+      val cand = DedupOps.minhashCandidates(docs, k, bands).localCheckpoint(true)
+      val nCand = cand.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hit = positives.join(cand, Seq("a", "b"), "left_semi").count()
+      val recall = if (nPos == 0) 1.0 else hit.toDouble / nPos
+      // theory: planted pair at J is a candidate w.p. 1-(1-J^r)^bands
+      val r = k / bands
+      f""""r$r":{"k":$k,"bands":$bands,"candidates":$nCand,""" +
+        f""""recall_at_${threshold}":$recall%.4f,"sec":$sec%.1f}"""
+    }
+
+    // per-mutation-rate recall at the r=2 production dial (the dial the
+    // BASELINE.md record centers on): shows WHERE the recall curve bends
+    val cand2 = DedupOps.minhashCandidates(docs, 16, 8).localCheckpoint(true)
+    val byRate = exact
+      .withColumn("rate", element_at(
+        lit(MutationRates.map(r => f"$r%.2f")), (pmod(col("a"), lit(4)) + 1).cast("int")))
+      .groupBy("rate")
+      .agg(count(lit(1)).as("n"), round(avg("j"), 4).as("mean_j"))
+      .join(
+        exact.join(cand2, Seq("a", "b"), "left_semi")
+          .withColumn("rate", element_at(
+            lit(MutationRates.map(r => f"$r%.2f")), (pmod(col("a"), lit(4)) + 1).cast("int")))
+          .groupBy("rate").agg(count(lit(1)).as("n_cand")),
+        Seq("rate"), "left")
+      .na.fill(0L, Seq("n_cand"))
+      .orderBy("rate")
+      .collect()
+      .map(r => f""""${r.getString(0)}":{"mean_j":${r.getDouble(2)}%.4f,""" +
+        f""""candidate_frac":${r.getLong(3).toDouble / r.getLong(1)}%.4f}""")
+
+    // ---- embedding LSH ----------------------------------------------------
+    val nVec = nBase
+    val nVecDup = nVec / 10
+    val emb = syntheticEmbeddings(spark, nVec, nVecDup).localCheckpoint(true)
+    val vPlanted = spark.range(nVecDup)
+      .select(col("id").as("a"), (col("id") + DupOffset).as("b"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val vExact = vPlanted
+      .join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), "a")
+      .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), "b")
+      .select(col("a"), col("b"), DedupOps.cosine(col("va"), col("vb")).as("cos"))
+      .localCheckpoint(true)
+    val vPos = vExact.filter(col("cos") >= 0.95).localCheckpoint(true)
+    val nVPos = vPos.count()
+    val embResults = Seq(16, 20).map { planes =>
+      val t0 = System.nanoTime()
+      val cand = DedupOps.embeddingCandidates(emb, planes).localCheckpoint(true)
+      val nCand = cand.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hit = vPos.join(cand, Seq("a", "b"), "left_semi").count()
+      val recall = if (nVPos == 0) 1.0 else hit.toDouble / nVPos
+      f""""planes$planes":{"candidates":$nCand,"recall_at_0.95":$recall%.4f,"sec":$sec%.1f}"""
+    }
+
+    val (droppedBuckets, droppedMembers) = DedupOps.bucketGuardCounts(spark)
+    val json =
+      s"""{"probe":"sketch-dials","n_base_docs":$nBase,"n_planted":$nDup,""" +
+        s""""threshold":$threshold,"n_exact_positives":$nPos,""" +
+        s""""minhash":{${minhashResults.mkString(",")}},""" +
+        s""""minhash_r2_by_mutation_rate":{${byRate.mkString(",")}},""" +
+        s""""n_vec_positives":$nVPos,"embedding":{${embResults.mkString(",")}},""" +
+        s""""dropped_buckets":$droppedBuckets,"dropped_members":$droppedMembers}"""
+    println(json)
+    spark.stop()
+  }
+}

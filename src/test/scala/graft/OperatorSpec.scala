@@ -473,6 +473,31 @@ class OperatorSpec extends AnyFunSuite {
       g.ground("alpha beta").map(m => (m.prefix, m.id)))
   }
 
+  test("sharded grounder: union of shard mentions == single-automaton mentions (exact)") {
+    import graft.ground.Grounder
+    // lexicon mixing single- and multi-word terms, variant spellings that
+    // normalize identically (MUST co-locate in one shard: sharding is by
+    // normalized pattern hash), and cross-concept ambiguity for the top-1 rule
+    val rows = (0 until 30).map(i =>
+      ("P", f"$i%03d", s"term$i alpha", "oboInOwl:hasExactSynonym", s"term$i alpha")) ++ Seq(
+      ("P", "100", "beta", "rdfs:label", "Beta"),
+      ("P", "100", "beta", "rdfs:label", "beta-"), // same normalized pattern
+      ("Q", "200", "beta thing", "oboInOwl:hasRelatedSynonym", "beta"), // ambiguity on "beta"
+      ("P", "101", "gamma ray", "rdfs:label", "gamma_ray"))
+    val df = spark.createDataFrame(rows).toDF("prefix", "id", "name", "predicate", "text")
+    val single = Grounder.build(df)
+    val shards = Grounder.buildSharded(df, 3)
+    // shard pattern sets partition the single automaton's pattern set
+    assert(shards.map(_.automaton.patterns.length).sum == single.automaton.patterns.length)
+    assert(shards.flatMap(_.automaton.patterns).toSet == single.automaton.patterns.toSet)
+    val text = "term1 alpha, then Beta and gamma-ray; term17 alpha beta term29 alpha"
+    def key(ms: Iterator[graft.model.Mention]) =
+      ms.map(m => (m.start, m.end, m.prefix, m.id, m.predicate, m.score)).toSet
+    val one = key(single.findTopMentions("c", 0, text))
+    assert(one.nonEmpty)
+    assert(key(shards.iterator.flatMap(_.findTopMentions("c", 0, text))) == one)
+  }
+
   test("grounder build is HARD-BOUNDED: over-cap lexicon fails loudly, never OOMs the driver") {
     import graft.ground.Grounder
     val df = Seq(

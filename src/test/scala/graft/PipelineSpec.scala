@@ -34,6 +34,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(fused.nonEmpty)
   }
 
+  test("sharded detection over the ontology lexicon == single-automaton detection") {
+    val tr = Transcripts.synthetic(spark, 60)
+    val ctx = KgPipeline.prepare(spark, ontPath)
+    val lex = graft.operators.LiteralMappings.fromNodes(ctx.nodes, "PATO")
+    val slim = MentionDetector.slim(tr)
+    val single = spark.sparkContext.broadcast(Grounder.build(lex, ctx.canonical))
+    val shards = Grounder.buildSharded(lex, 3, ctx.canonical)
+      .map(spark.sparkContext.broadcast(_))
+    val one = MentionDetector.detectTopSlim(slim, single).collect().toSet
+    val sharded = MentionDetector.detectTopSlimSharded(slim, shards).collect().toSet
+    assert(one.nonEmpty)
+    assert(sharded == one)
+  }
+
   test("pipeline P/R == 1.0 vs hand-derived golden on a tiny planted corpus") {
     import spark.implicits._
     // three turns with known planted mentions (incl. a multi-word term and
