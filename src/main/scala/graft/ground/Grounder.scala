@@ -373,6 +373,23 @@ object MentionDetector {
   }
 
   /**
+   * Sharded-lexicon TRIPLE path: one fused detection pass per shard, then a
+   * cross-shard dedup. Unlike mentions (span-disjoint across shards, union
+   * is exact), triples are CONCEPT-level: two patterns of the same concept
+   * (label vs synonym) can land in different shards and both emit the same
+   * (turn, concept) triple — the in-kernel per-turn dedup only sees its own
+   * shard. So this variant pays one real distinct exchange; that is the
+   * documented price of sharding the automaton, on top of the N corpus
+   * scans. (No per-shard metrics: accumulators would count each turn N×.)
+   */
+  def detectTriplesSharded(turns: Dataset[SlimTurn],
+                           grounders: Seq[Broadcast[Grounder]]): org.apache.spark.sql.DataFrame = {
+    require(grounders.nonEmpty, "need at least one grounder shard")
+    grounders.map(g => detectTriples(turns, g)).reduce(_ unionByName _)
+      .dropDuplicates("subj", "pred", "obj")
+  }
+
+  /**
    * Top-1 candidate per detected span via a ranking window — deterministic
    * tie-break (score desc, then CURIE asc) so results are stable across
    * parallelism levels (SURVEY §7.5.4).

@@ -46,6 +46,14 @@ class PipelineSpec extends AnyFunSuite {
     val sharded = MentionDetector.detectTopSlimSharded(slim, shards).collect().toSet
     assert(one.nonEmpty)
     assert(sharded == one)
+    // fused TRIPLE path too: cross-shard concept dedup must make the union
+    // exactly the single-automaton triple set (label + synonym of one
+    // concept can land in different shards and double-emit without it)
+    val oneTriples = MentionDetector.detectTriples(slim, single)
+      .collect().map(_.toSeq).toSet
+    val shardedTriples = MentionDetector.detectTriplesSharded(slim, shards)
+      .collect().map(_.toSeq).toSet
+    assert(shardedTriples == oneTriples)
   }
 
   test("pipeline P/R == 1.0 vs hand-derived golden on a tiny planted corpus") {
