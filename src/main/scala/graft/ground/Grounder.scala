@@ -213,10 +213,12 @@ object Grounder {
       throw new IllegalStateException(
         s"lexicon exceeds $maxPatterns distinct normalized patterns — too large " +
           "for one driver-built automaton. Either raise maxPatterns to match the " +
-          "driver's actual heap, or shard the pattern space: build N grounders " +
-          "from disjoint hash slices of the lexicon (filter on " +
-          "pmod(xxhash64(text), N)) and union the mentions each detects — " +
-          "detection semantics are per-pattern, so the union is exact.")
+          "driver's actual heap, or use Grounder.buildSharded(lexicon, N): it " +
+          "shards the pattern space by hash of the NORMALIZED pattern text (raw " +
+          "text would split variant spellings of one pattern across shards and " +
+          "corrupt per-span top-1), and the union of the shards' mentions " +
+          "(MentionDetector.detectTopSlimSharded / detectTriplesSharded) equals " +
+          "the single-automaton result exactly.")
 
     // deterministic order regardless of partitioning: patterns sorted, and
     // per-pattern entries sorted by (prefix, id, predicate, text)

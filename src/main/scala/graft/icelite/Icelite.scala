@@ -47,6 +47,14 @@ final class Icelite(rootDir: String) extends Serializable {
   @transient private lazy val idCounters =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** Snapshot ids allocated but whose writeSnapshot has not returned yet —
+    * [[expireSnapshots]] must never vacuum these: a concurrent vacuum
+    * running between an OLD-id manifest commit and writeSnapshot's return
+    * would otherwise hand the caller a freshly-deleted snapshot id. Keyed
+    * "table/id" (ids are only unique per table). */
+  @transient private lazy val pendingIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Highest id known on disk: manifests win over the pointer (expiry can
     * leave `current` behind a tagged-but-newer snapshot; a crashed write can
     * leave a manifest above `current`). */
@@ -68,13 +76,17 @@ final class Icelite(rootDir: String) extends Serializable {
 
   /** Allocate the next snapshot id — unique across concurrent writers. */
   private def allocateId(table: String): Long = this.synchronized {
+    // -1 sentinel seed: the disk max is read ONCE per call below (seeding
+    // with maxSnapshotId would scan the snapshots dir twice under the lock);
+    // the per-call re-read also covers another Icelite instance (tests,
+    // tooling) writing to the same root between our writes
     val c = idCounters.computeIfAbsent(table,
-      t => new java.util.concurrent.atomic.AtomicLong(maxSnapshotId(t)))
-    // re-sync with disk in case another Icelite instance (tests, tooling)
-    // wrote to the same root between our writes
+      _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     val disk = maxSnapshotId(table)
     if (c.get() < disk) c.set(disk)
-    c.incrementAndGet()
+    val id = c.incrementAndGet()
+    pendingIds.add(s"$table/$id")
+    id
   }
 
   /** Tags are stored JSON-safe; probe and store MUST sanitize identically or
@@ -147,7 +159,13 @@ final class Icelite(rootDir: String) extends Serializable {
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       }
       id
-    } finally persisted.unpersist()
+    } finally {
+      // pending cover ends only AFTER the pointer update: from here on the
+      // snapshot is either fully committed (vacuumable by the normal rules)
+      // or failed (its manifest never landed, so there is nothing to expire)
+      pendingIds.remove(s"$table/$id")
+      persisted.unpersist()
+    }
   }
 
   /**
@@ -175,10 +193,13 @@ final class Icelite(rootDir: String) extends Serializable {
         .toSeq.sorted
       finally stream.close()
       val keepByTag = keepTags.flatMap(t => findByTag(table, t)).toSet
-      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ currentSnapshotId(table)
+      // never vacuum an id whose writeSnapshot is still in flight (manifest
+      // may be committed but the id not yet returned to its caller)
+      val pending = ids.filter(id => pendingIds.contains(s"$table/$id")).toSet
+      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++
+        currentSnapshotId(table) ++ pending
       val expired = ids.filterNot(keep)
-      expired.foreach { id =>
-        Files.deleteIfExists(snaps.resolve(s"$id.json"))
+      def deleteDataDir(id: Long): Unit = {
         val dataDir = tableDir(table).resolve(s"data/snap-$id")
         if (Files.exists(dataDir)) {
           val walk = Files.walk(dataDir)
@@ -186,6 +207,28 @@ final class Icelite(rootDir: String) extends Serializable {
             .forEach(p => { Files.deleteIfExists(p); () })
           finally walk.close()
         }
+      }
+      expired.foreach { id =>
+        Files.deleteIfExists(snaps.resolve(s"$id.json"))
+        deleteDataDir(id)
+      }
+      // orphan sweep: a crash between a previous vacuum's manifest delete and
+      // its data delete leaves a data dir no manifest references — invisible
+      // to the id enumeration above forever. Reclaim any snap-* data dir
+      // with no manifest (and not pending/current, which covers a data dir
+      // whose manifest commit is mid-flight).
+      val dataRoot = tableDir(table).resolve("data")
+      if (Files.exists(dataRoot)) {
+        val ls = Files.list(dataRoot)
+        val orphans = try ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("snap-"))
+          .flatMap(n => n.stripPrefix("snap-").toLongOption)
+          .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
+            !currentSnapshotId(table).contains(id))
+          .toList
+        finally ls.close()
+        orphans.foreach(deleteDataDir)
       }
       expired
     }

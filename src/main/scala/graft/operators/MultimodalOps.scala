@@ -365,15 +365,28 @@ object MultimodalOps {
         catch { case e: java.util.zip.DataFormatException =>
           throw new IllegalArgumentException(s"PNG DEFLATE stream corrupt: ${e.getMessage}")
         }
-        if (n == 0 && inflater.needsInput())
-          throw new IllegalArgumentException("PNG DEFLATE stream truncated")
+        // n == 0 while unfinished means NO forward progress is possible:
+        // either the stream is truncated (needsInput) or it demands a preset
+        // dictionary (FDICT zlib flag — inflate() returns 0 with
+        // needsInput() FALSE forever, so testing needsInput alone spins this
+        // loop on a hostile payload; a hung task is worse than a thrown one)
+        if (n == 0 && !inflater.finished())
+          throw new IllegalArgumentException(
+            if (inflater.needsDictionary()) "PNG DEFLATE stream demands a preset dictionary (FDICT unsupported)"
+            else "PNG DEFLATE stream truncated")
         got += n
       }
       require(got == rawSize, s"PNG scanline stream short: $got of $rawSize bytes")
-      // any residual DEFLATE output means the stream disagrees with IHDR
+      // any residual DEFLATE output means the stream disagrees with IHDR;
+      // same DataFormatException wrap as above — a corrupt Adler-32 trailer
+      // parses HERE (the in-loop inflate stops at exactly rawSize), and must
+      // surface as the contract's IllegalArgumentException, not leak raw
       val extra = new Array[Byte](1)
-      require(inflater.finished() || inflater.inflate(extra) == 0,
-        "PNG scanline stream longer than IHDR dimensions imply")
+      val residual = try !inflater.finished() && inflater.inflate(extra) > 0
+      catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG DEFLATE trailer corrupt: ${e.getMessage}")
+      }
+      require(!residual, "PNG scanline stream longer than IHDR dimensions imply")
     } finally inflater.end()
 
     // unfilter in place, row by row (spec §9: predictors see UNFILTERED bytes)

@@ -102,7 +102,19 @@ object BulkRunner {
             }
           })
         }
-        futures.map(_.get())
+        futures.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              // parity with the sequential path: a failure that escapes
+              // runOne (Error, throwing progress callback — pipeline
+              // Exceptions are already folded into JobReports) surfaces as
+              // its ORIGINAL type, and the remaining jobs are cancelled
+              // instead of running on after the caller has unwound
+              futures.foreach(_.cancel(true))
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
       } finally pool.shutdown()
     }
   }

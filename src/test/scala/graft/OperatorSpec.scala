@@ -213,6 +213,22 @@ class OperatorSpec extends AnyFunSuite {
     val huge = sig ++ chunk("IHDR", hugeIhdr) ++
       chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.emptyByteArray)
     assertThrows[IllegalArgumentException](MultimodalOps.decodePng(huge))
+    // (g) zlib FDICT flag (header 0x78 0x20, FCHECK-valid): inflate() makes
+    // no progress with needsInput() FALSE — a needsInput-only guard spins
+    // the decode loop forever on this payload (a hung executor task, which
+    // no try/catch can save); must throw instead
+    val fdictIdat = Array[Byte](0x78, 0x20, 0, 0, 0, 1)
+    val fdict = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(fdict))
+    // (h) complete DEFLATE payload with a corrupted Adler-32 trailer: parsed
+    // only AFTER the full output is delivered, so it surfaces in the
+    // residual check — must wrap to the contract's IllegalArgumentException,
+    // not leak java.util.zip.DataFormatException
+    val z = deflate(raw); z(z.length - 1) = (z(z.length - 1) ^ 0x55).toByte
+    val adlerBad = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.emptyByteArray)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(adlerBad))
   }
 
   test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {
@@ -509,7 +525,7 @@ class OperatorSpec extends AnyFunSuite {
     // with a strategy pointer, not a silent driver collect (round-3 verdict #5)
     val e = intercept[IllegalStateException](Grounder.build(df, maxPatterns = 2))
     assert(e.getMessage.contains("distinct normalized patterns"))
-    assert(e.getMessage.contains("shard the pattern space"))
+    assert(e.getMessage.contains("Grounder.buildSharded"))
     // the bound is inclusive: exactly-at-cap builds fine and completely
     assert(Grounder.build(df, maxPatterns = 3).automaton.patterns.length == 3)
   }

@@ -149,6 +149,16 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(computed && re3.collect().map(_.getString(1)).toSeq == Seq("recomputed"))
     assert(ic.currentSnapshotId("t").contains(5L))
+    // orphan sweep: a crash between a vacuum's manifest delete and its data
+    // delete strands a manifest-less data dir, invisible to id enumeration —
+    // the next vacuum must reclaim it even when no manifest expires
+    val orphan = Paths.get(ic.root, "t", "data", "snap-99")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    assert(ic.expireSnapshots("t", keepLast = 10).isEmpty) // nothing expirable
+    assert(!Files.exists(orphan), "orphaned data dir not reclaimed")
+    // live data untouched by the orphan sweep
+    assert(ic.readSnapshot(spark, "t").collect().nonEmpty)
   }
 
   test("ANN LSH: beats random-scan baseline on isotropic data, near-exact on clustered data") {
@@ -347,6 +357,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlapped.get(), "two bulk jobs never ran concurrently")
     // completion order may differ; REPORTED order and content must not
     assert(par == seq)
+
+    // failure parity with the sequential path: an exception ESCAPING runOne
+    // (here: a throwing progress callback) must surface with its original
+    // type — not wrapped in ExecutionException — and cancel the sweep
+    val boom = new RuntimeException("progress exploded")
+    val thrown = intercept[RuntimeException](
+      BulkRunner.run(spark, jobs, tr, MiniOntology.converter, icelite = None,
+        parallelism = 2, progress = {
+          case BulkRunner.JobStarted(_) => throw boom
+          case _ => ()
+        }))
+    assert(thrown eq boom)
   }
 
   test("S3-S5: ConvertedSource runs an external converter, caches, and resolves") {
