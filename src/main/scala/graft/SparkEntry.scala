@@ -405,7 +405,33 @@ object SparkEntry {
     // oracle recomputes the sums from the generation formulas.
     "q_media_png" -> ((s, _) =>
       graft.operators.MultimodalOps.imageStats(
-        graft.operators.MultimodalOps.syntheticPngMedia(s, 100)).toDF()))
+        graft.operators.MultimodalOps.syntheticPngMedia(s, 100)).toDF()),
+
+    // --- data mixing: deterministic stratified sampling — the oracle
+    // recomputes the EXACT sample (portable md5-derived row hash + integer
+    // thresholds inlined on both sides; no RNG, no double→long divergence)
+    "q_sample_mix" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // --- intra-document repetition (Gopher-style quality signal)
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("dup_token_frac"), col("dup_shingle_frac"))),
+
+    // --- PII redaction: pii PLANTED from doc_id is appended to every doc,
+    // then redacted; DuckDB runs the IDENTICAL RE2-compatible regex chain,
+    // so the redacted strings compare hash-exact
+    "q_redact_pii" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 300).select(
+        col("doc_id"),
+        TextOps.redactPii(concat(
+          coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.org or 10.7."), (col("doc_id") % 200).cast("string"),
+          lit(".99 tel +1 555 123 4567"))).as("redacted"))))
 
   // ---------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — one per SQL-expressible query above
@@ -777,6 +803,54 @@ object SparkEntry {
         |  min(doc_id) OVER (
         |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS group_rep
         |FROM documents""".stripMargin,
+
+    // portable row hash reassembled hex-digit-by-hex-digit (same technique
+    // as the simhash oracle); thresholds are the SAME Scala-computed longs
+    // the engine filter uses — inlined, so cast semantics cannot diverge
+    "q_sample_mix" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), i, 1)) - 1 AS BIGINT)),
+         |      (acc, x) -> acc * 16 + x) AS h
+         |  FROM documents)
+         |SELECT doc_id, lang FROM h
+         |WHERE h < CASE lang WHEN 'en' THEN ${TextOps.rateThreshold(0.5)}
+         |                    WHEN 'de' THEN ${TextOps.rateThreshold(0.25)}
+         |                    ELSE ${TextOps.rateThreshold(0.1)} END""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS dup_token_frac,
+        |  round(1.0 - CAST(len(sh) AS DOUBLE) / greatest(len(toks) - 2, 1), 6) AS dup_shingle_frac
+        |FROM s""".stripMargin,
+
+    // the regex chain is shared verbatim with the engine (TextOps.EmailRe &
+    // co are RE2-compatible by design); order is part of the contract
+    "q_redact_pii" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         |          || '@example.org or 10.7.' || CAST(doc_id % 200 AS VARCHAR)
+         |          || '.99 tel +1 555 123 4567',
+         |        '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM documents WHERE doc_id < 300""".stripMargin,
 
     "q_mention_detect" ->
       s"""WITH transcripts AS ($T),

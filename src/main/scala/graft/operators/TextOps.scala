@@ -89,4 +89,99 @@ object TextOps {
       langId(col("text")).as("lang_guess"),
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fingerprint"))
+
+  // -------------------------------------------------------------------------
+  // deterministic stratified sampling (data mixing)
+  // -------------------------------------------------------------------------
+
+  /** PORTABLE 60-bit row hash: first 15 hex chars of md5(key ++ salt) — md5
+    * exists in both Spark and DuckDB (same trick as the portable simhash),
+    * so a sampling decision is bit-exactly recomputable by the SQL oracle.
+    * Uniform in [0, 2^60); deterministic in (key, salt) — reruns, retries
+    * and different partitionings all select the SAME rows, which is what a
+    * training-data mixing stage must guarantee for reproducibility. */
+  def portableRowHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Integer sampling threshold for `rate` — computed ONCE driver-side and
+    * inlined as a literal on BOTH the engine and oracle sides, so no
+    * double→long cast semantics (Spark truncates, DuckDB rounds) can
+    * diverge. */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    (rate * (1L << 60)).toLong
+  }
+
+  /**
+   * Deterministic STRATIFIED sampling — the data-mixing primitive of a
+   * pretraining pipeline ("keep 50% of en, 25% of de, 10% of the rest").
+   * Pure map-side filter (no shuffle, no sampling state, no RNG): a row
+   * survives iff its portable hash falls under its stratum's threshold.
+   * Per-stratum rates are a broadcast-free literal map lookup; sampling a
+   * 100 TB corpus is exactly one codegen'd scan.
+   */
+  def stratifiedSample(documents: DataFrame, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "graft-mix"): DataFrame = {
+    val thr =
+      if (rates.isEmpty) lit(rateThreshold(defaultRate))
+      else {
+        val keys = array(rates.keys.toSeq.sorted.map(lit): _*)
+        val vals = array(rates.keys.toSeq.sorted.map(k => lit(rateThreshold(rates(k)))): _*)
+        coalesce(element_at(map_from_arrays(keys, vals), col(strataCol)),
+          lit(rateThreshold(defaultRate)))
+      }
+    documents.filter(portableRowHash(col("doc_id"), salt) < thr)
+  }
+
+  // -------------------------------------------------------------------------
+  // intra-document repetition (Gopher/RefinedWeb-style quality signal)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Within-document repetition metrics: fraction of duplicate tokens and of
+   * duplicate token-3-grams — the standard signals for filtering degenerate
+   * generations / boilerplate loops out of training data. Token arrays are
+   * staged through real projections (HOF-lambda CSE rule); null text is
+   * treated as empty. Fractions are 0 for docs too short to repeat.
+   */
+  def repetitionMetrics(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        split(DedupOps.normText(coalesce(col("text"), lit(""))), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        DedupOps.shinglesFromTokens(col("toks")).as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1)), 6).as("dup_token_frac"),
+        // shinglesFromTokens is already distinct; total 3-gram count is
+        // n_tokens - 2 (docs with < 3 tokens produce one whole-text shingle
+        // against a denominator of 1 → frac 0, mirrored by the oracle CASE)
+        round(lit(1.0) - size(col("sh")).cast("double") /
+          greatest(size(col("toks")) - 2, lit(1)), 6).as("dup_shingle_frac"))
+
+  // -------------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------------
+
+  /** Redaction patterns — deliberately RE2-compatible (no lookarounds, no
+    * backrefs) so the DuckDB oracle runs the IDENTICAL expressions: what the
+    * engine redacts is value-checked, not assumed. Order matters and is part
+    * of the contract: emails first (their local parts contain digits), then
+    * IPv4 (dotted digit runs), then phone-like runs over what remains. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Replace emails / IPv4s / phone-shaped digit runs with typed tags.
+    * Codegen'd regexp_replace chain — redacting a corpus is one scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

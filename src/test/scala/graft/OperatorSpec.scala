@@ -41,6 +41,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("stratified sample: rate-accurate, deterministic, partitioning-invariant, salt-sensitive") {
+    val df = spark.range(4000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+        .otherwise("fr").as("lang"))
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val got = TextOps.stratifiedSample(df, "lang", rates, 0.1)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~1333 rows per stratum; tolerances are several binomial sigmas wide
+    assert(math.abs(got("en") - 1333 * 0.50) < 100, got.toString)
+    assert(math.abs(got("de") - 1333 * 0.25) < 80, got.toString)
+    assert(math.abs(got("fr") - 1333 * 0.10) < 60, got.toString)
+    // deterministic AND partitioning-invariant (a mixing stage must select
+    // the same rows on rerun/retry regardless of physical layout)
+    val a = TextOps.stratifiedSample(df, "lang", rates, 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.stratifiedSample(df.repartition(7), "lang", rates, 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a different salt draws a different (equally deterministic) sample
+    val c = TextOps.stratifiedSample(df, "lang", rates, 0.1, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("repetition metrics: degenerate docs score high, varied docs zero, short/null safe") {
+    val df = Seq(
+      (1L, "a a a a a a"),                  // one distinct token
+      (2L, "one two three four five six"),  // no repetition
+      (3L, "x y z x y z x y z"),            // 3-gram loop
+      (4L, "ab"),                           // too short to repeat
+      (5L, null.asInstanceOf[String]))      // null-safe
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((6, 0.833333, 0.75)))
+    assert(m(2L) == ((6, 0.0, 0.0)))
+    assert(m(3L) == ((9, 0.666667, 0.571429)))
+    assert(m(4L) == ((1, 0.0, 0.0)))
+    assert(m(5L) == ((1, 0.0, 0.0))) // null → "" → [""]
+  }
+
+  test("PII redaction: planted email/ip/phone redacted in order, clean text untouched") {
+    val out = Seq(
+      "mail me at bob.smith+x@mail.example.com ok",
+      "server 192.168.0.1 port",
+      "call +1 555 123 4567 now",
+      "clean text here, version 1.2")
+      .toDF("text").select(TextOps.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> ok")
+    assert(out(1) == "server <IP> port")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "clean text here, version 1.2")
+  }
+
   // ---------------- DedupOps ----------------
 
   test("exact dedup: normalized duplicates collapse to min doc_id") {
