@@ -621,6 +621,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(OboGraphReader.guessVersion(spark, "/nonexistent/missing.json").isEmpty)
   }
 
+  test("stratified sample scans only key + stratum columns (the 100 TB property)") {
+    // the sampling decision is a function of (doc_id, lang) alone — at corpus
+    // scale the mixing stage must NOT read the text bytes it throws away
+    val plan = TextOps.stratifiedSample(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "lang", Map("en" -> 0.5), 0.1)
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("parquet scan prunes columns and pushes filters for text metrics") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
