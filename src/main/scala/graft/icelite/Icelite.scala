@@ -196,8 +196,8 @@ final class Icelite(rootDir: String) extends Serializable {
       // never vacuum an id whose writeSnapshot is still in flight (manifest
       // may be committed but the id not yet returned to its caller)
       val pending = ids.filter(id => pendingIds.contains(s"$table/$id")).toSet
-      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++
-        currentSnapshotId(table) ++ pending
+      val current = currentSnapshotId(table) // one pointer read for keep + orphan sweep
+      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ current ++ pending
       val expired = ids.filterNot(keep)
       def deleteDataDir(id: Long): Unit = {
         val dataDir = tableDir(table).resolve(s"data/snap-$id")
@@ -225,7 +225,7 @@ final class Icelite(rootDir: String) extends Serializable {
           .filter(_.startsWith("snap-"))
           .flatMap(n => n.stripPrefix("snap-").toLongOption)
           .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
-            !currentSnapshotId(table).contains(id))
+            !current.contains(id))
           .toList
         finally ls.close()
         orphans.foreach(deleteDataDir)

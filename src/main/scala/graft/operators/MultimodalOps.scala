@@ -223,6 +223,17 @@ object MultimodalOps {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Filter-type → predicted byte (shared by filter and unfilter — the spec
+    * defines ONE predictor table, so encode/decode must not drift apart).
+    * `ft` is validated by both callers to be 0-4. */
+  @inline private def predictor(ft: Int, left: Int, up: Int, ul: Int): Int = ft match {
+    case 0 => 0
+    case 1 => left
+    case 2 => up
+    case 3 => (left + up) / 2
+    case _ => paeth(left, up, ul)
+  }
+
   /**
    * Encode an 8-bit PNG. `rgba(x, y)` supplies pixels top-down; alpha is
    * written only when `hasAlpha`. Each row carries filter type `y % 5`, so a
@@ -256,14 +267,7 @@ object MultimodalOps {
         val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
         val up = prev(i) & 0xFF
         val ul = if (i >= bpp) prev(i - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
-        }
-        raw(off + 1 + i) = (cu - pred).toByte
+        raw(off + 1 + i) = (cu - predictor(ft, left, up, ul)).toByte
         i += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
@@ -401,14 +405,7 @@ object MultimodalOps {
         val left = if (i >= bpp) raw(rowOff + i - bpp) & 0xFF else 0
         val up = if (y > 0) raw(prevOff + i) & 0xFF else 0
         val ul = if (y > 0 && i >= bpp) raw(prevOff + i - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case _ => paeth(left, up, ul)
-        }
-        raw(rowOff + i) = ((raw(rowOff + i) & 0xFF) + pred).toByte
+        raw(rowOff + i) = ((raw(rowOff + i) & 0xFF) + predictor(ft, left, up, ul)).toByte
         i += 1
       }
       y += 1

@@ -111,11 +111,13 @@ object SketchDialsProbe {
     val positives = exact.filter(col("j") >= threshold).localCheckpoint(true)
     val nPos = positives.count()
 
-    val minhashResults = Seq((16, 16), (16, 8), (16, 4)).map { case (k, bands) =>
+    val dialCands = Seq((16, 16), (16, 8), (16, 4)).map { case (k, bands) =>
       val t0 = System.nanoTime()
       val cand = DedupOps.minhashCandidates(docs, k, bands).localCheckpoint(true)
       val nCand = cand.count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      (k, bands, cand, nCand, (System.nanoTime() - t0) / 1e9)
+    }
+    val minhashResults = dialCands.map { case (k, bands, cand, nCand, sec) =>
       val hit = positives.join(cand, Seq("a", "b"), "left_semi").count()
       val recall = if (nPos == 0) 1.0 else hit.toDouble / nPos
       // theory: planted pair at J is a candidate w.p. 1-(1-J^r)^bands
@@ -125,8 +127,9 @@ object SketchDialsProbe {
     }
 
     // per-mutation-rate recall at the r=2 production dial (the dial the
-    // BASELINE.md record centers on): shows WHERE the recall curve bends
-    val cand2 = DedupOps.minhashCandidates(docs, 16, 8).localCheckpoint(true)
+    // BASELINE.md record centers on): shows WHERE the recall curve bends —
+    // reusing the checkpointed candidate set from the ladder above
+    val cand2 = dialCands.collectFirst { case (16, 8, cand, _, _) => cand }.get
     val byRate = exact
       .withColumn("rate", element_at(
         lit(MutationRates.map(r => f"$r%.2f")), (pmod(col("a"), lit(4)) + 1).cast("int")))
