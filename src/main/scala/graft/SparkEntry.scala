@@ -431,7 +431,27 @@ object SparkEntry {
           coalesce(col("text"), lit("")),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.org or 10.7."), (col("doc_id") % 200).cast("string"),
-          lit(".99 tel +1 555 123 4567"))).as("redacted"))))
+          lit(".99 tel +1 555 123 4567"))).as("redacted"))),
+
+    // --- COMPOSED hygiene pipeline: exact dedup → decontaminate →
+    // repetition filter → stratified sample → redact, end to end — the
+    // oracle replays the whole chain in DuckDB, value-checking the
+    // COMPOSITION (stage order, survivor sets, per-stage semantics), not
+    // just the parts. (The minhash stage is oracle-gated separately via
+    // q_dedup_minhash/q_dedup_groups and skipped here: its recursive-CTE
+    // oracle at this corpus size would dominate the gate's runtime.)
+    "q_hygiene" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000).select("doc_id", "lang", "text")
+      val bench = d.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(split(DedupOps.normText(col("text")), " "), 1, 12)).as("text"))
+      graft.operators.CorpusHygiene.clean(d, Some(bench),
+        graft.operators.CorpusHygiene.HygieneConfig(
+          nearDupThreshold = None,
+          maxDupTokenFrac = 0.68,
+          sampleRates = Map("en" -> 0.5, "de" -> 0.25), sampleDefaultRate = 0.1))
+        .select(col("doc_id"), col("lang"), col("text").as("redacted"))
+    }))
 
   // ---------------------------------------------------------------------
   // oracle SQL (DuckDB dialect) — one per SQL-expressible query above
@@ -851,6 +871,54 @@ object SparkEntry {
          |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
          |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // the per-stage CTEs are the SAME SQL as q_dedup_exact / q_decontaminate
+    // / q_repetition / q_sample_mix / q_redact_pii — composed in the engine's
+    // stage order so any drift in the composition fails the gate
+    "q_hygiene" ->
+      s"""WITH raw AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 2000),
+         |keep0 AS (SELECT min(doc_id) AS doc_id FROM raw
+         |          GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+         |d0 AS (SELECT raw.* FROM raw JOIN keep0 USING (doc_id)),
+         |tok AS (SELECT doc_id,
+         |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |        FROM raw),
+         |dsh AS (SELECT tok.doc_id,
+         |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |               ELSE list_distinct(list_transform(range(1, len(toks)-1),
+         |                      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+         |        FROM tok JOIN d0 ON tok.doc_id = d0.doc_id),
+         |b0 AS (SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM tok WHERE doc_id % 41 = 0),
+         |bsh AS (SELECT bench_id,
+         |          CASE WHEN len(btoks) < 3 THEN [array_to_string(btoks, ' ')]
+         |               ELSE list_distinct(list_transform(range(1, len(btoks)-1),
+         |                      i -> array_to_string(btoks[i:i+2], ' '))) END AS sh
+         |        FROM b0),
+         |flagged AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM dsh d CROSS JOIN bsh b
+         |  WHERE len(list_intersect(d.sh, b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) >= 0.8),
+         |d1 AS (SELECT * FROM d0 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |d2 AS (SELECT d1.* FROM d1 JOIN tok ON d1.doc_id = tok.doc_id
+         |       WHERE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) <= 0.68),
+         |h AS (SELECT doc_id, lang, text,
+         |        list_reduce(list_transform(range(1, 16),
+         |            i -> CAST(strpos('0123456789abcdef',
+         |                   substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), i, 1)) - 1 AS BIGINT)),
+         |          (acc, x) -> acc * 16 + x) AS h
+         |      FROM d2),
+         |d3 AS (SELECT doc_id, lang, text FROM h
+         |       WHERE h < CASE lang WHEN 'en' THEN ${TextOps.rateThreshold(0.5)}
+         |                           WHEN 'de' THEN ${TextOps.rateThreshold(0.25)}
+         |                           ELSE ${TextOps.rateThreshold(0.1)} END)
+         |SELECT doc_id, lang,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM d3""".stripMargin,
 
     "q_mention_detect" ->
       s"""WITH transcripts AS ($T),

@@ -96,6 +96,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3) == "clean text here, version 1.2")
   }
 
+  test("hygiene pipeline: each stage drops its planted victim, survivors pass through redacted") {
+    val docsDf = Seq(
+      (1L, "en", "unique alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "en", "Unique  alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1 (case+ws)
+      (3L, "en", "near alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+      (4L, "en", "near alpha beta gamma delta epsilon zeta eta theta iota kappa mu2"), // near-dup of 3
+      (5L, "en", "the benchmark question about spark shuffles and joins here today"), // contaminated
+      (6L, "en", "loop loop loop loop loop loop loop loop"),                // degenerate repetition
+      (7L, "en", "email me at a.b@example.com please and thanks for the data")) // pii carrier
+      .toDF("doc_id", "lang", "text")
+    val bench = Seq((100L, "the benchmark question about spark shuffles and joins"))
+      .toDF("bench_id", "text")
+    // threshold 0.7: docs 3/4 (J=0.818) merge; docs 1-3/1-4 (J=0.545, the
+    // shared 8-token run) stay distinct — verified against the exact pair set
+    val out = CorpusHygiene.clean(docsDf, Some(bench), CorpusHygiene.HygieneConfig(
+      nearDupThreshold = Some(0.7), minhashK = 16, minhashBands = 16, // r=1: structural recall
+      decontaminateMinFrac = Some(0.8),
+      maxDupTokenFrac = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 2 exact-dup of 1; 4 near-dup of 3; 5 covers the bench item; 6 loops
+    assert(out.keySet == Set(1L, 3L, 7L), out.toString)
+    assert(out(7L).contains("<EMAIL>") && !out(7L).contains("example.com"))
+    assert(out(1L) == "unique alpha beta gamma delta epsilon zeta eta theta") // untouched
+  }
+
   // ---------------- DedupOps ----------------
 
   test("exact dedup: normalized duplicates collapse to min doc_id") {
