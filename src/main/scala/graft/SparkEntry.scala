@@ -407,6 +407,14 @@ object SparkEntry {
       graft.operators.MultimodalOps.imageStats(
         graft.operators.MultimodalOps.syntheticPngMedia(s, 100)).toDF()),
 
+    // --- second REAL entropy coding (LZW): decoded channel sums of GIF89a
+    // containers — dictionary build/growth/KwKwK and the palette mapping are
+    // all on the value path; lossless, so the oracle recomputes the sums
+    // from the pixel/palette formulas exactly
+    "q_media_gif" -> ((s, _) =>
+      graft.operators.MultimodalOps.imageStats(
+        graft.operators.MultimodalOps.syntheticGifMedia(s, 100)).toDF()),
+
     // --- data mixing: deterministic stratified sampling — the oracle
     // recomputes the EXACT sample (portable md5-derived row hash + integer
     // thresholds inlined on both sides; no RNG, no double→long divergence)
@@ -988,6 +996,22 @@ object SparkEntry {
         |CROSS JOIN range(0, 44) xs(x)
         |CROSS JOIN range(0, 34) ys(y)
         |WHERE x < 9 + (id % 6) * 7 AND y < 7 + (id % 4) * 9
+        |GROUP BY id""".stripMargin,
+
+    // formulas mirrored from MultimodalOps.syntheticGifMedia: palette entry
+    // i = (x*7+y*11+id)%64 is looked up per pixel — the oracle composes the
+    // palette and pixel formulas directly
+    "q_media_gif" ->
+      """SELECT CAST(id AS BIGINT) AS media_id,
+        |       CAST(11 + (id % 5) * 6 AS INT) AS width,
+        |       CAST(9 + (id % 7) * 4 AS INT) AS height,
+        |       CAST(SUM((3 * ((x * 7 + y * 11 + id) % 64) + id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((5 * ((x * 7 + y * 11 + id) % 64) + 2 * id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((7 * ((x * 7 + y * 11 + id) % 64) + 3 * id) % 256) AS BIGINT) AS sum_b
+        |FROM range(0, 100) t(id)
+        |CROSS JOIN range(0, 35) xs(x)
+        |CROSS JOIN range(0, 33) ys(y)
+        |WHERE x < 11 + (id % 5) * 6 AND y < 9 + (id % 7) * 4
         |GROUP BY id""".stripMargin,
 
     // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane

@@ -427,9 +427,303 @@ object MultimodalOps {
     BmpImage(width, height, rgb)
   }
 
-  /** Sniff-and-decode for image containers with a real decoder (PNG/BMP). */
+  // -------------------------------------------------------------------------
+  // GIF (87a/89a, non-interlaced, first image block): the SECOND real
+  // entropy coding in the decoder family — LZW with variable-width codes,
+  // clear/end codes, KwKwK handling and the 4096-entry dictionary cap —
+  // next to PNG's DEFLATE. Palette-indexed output mapped through the
+  // global/local color table to RGB.
+  // -------------------------------------------------------------------------
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length > 13 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+      b(3) == '8'.toByte && (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte
+
+  /** LSB-first bit writer/reader pair — GIF packs LZW codes little-endian. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code << nbits
+      nbits += width
+      while (nbits >= 8) { out.write(acc & 0xFF); acc >>>= 8; nbits -= 8 }
+    }
+    def bytes(): Array[Byte] = {
+      if (nbits > 0) { out.write(acc & 0xFF); acc = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /**
+   * Encode a single-frame GIF89a with a 256-entry global color table
+   * (`palette` supplies the first entries; the rest pad black) and REAL LZW
+   * compression (dictionary build, width growth, clear-on-full) — so a
+   * round-trip exercises the decoder's full dictionary path, not just
+   * literals. `index(x, y)` must be < palette.length <= 256.
+   */
+  def encodeGif(width: Int, height: Int,
+                palette: Array[(Int, Int, Int)],
+                index: (Int, Int) => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256, s"palette size ${palette.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: GCT present, 256 entries (size bits = 7)
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0x80 | 0x07); out.write(0); out.write(0)
+    for (i <- 0 until 256) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      out.write(r & 0xFF); out.write(g & 0xFF); out.write(b & 0xFF)
+    }
+    // image descriptor at (0,0), no LCT, non-interlaced
+    out.write(0x2C)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0)
+    val minCode = 8 // 256-entry table
+    out.write(minCode)
+    val clear = 1 << minCode
+    val end = clear + 1
+
+    val bw = new BitWriter
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = end + 1
+    var w = minCode + 1
+    def reset(): Unit = { dict.clear(); next = end + 1; w = minCode + 1 }
+    bw.put(clear, w)
+    var cur = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val px = index(x, y)
+        require(px >= 0 && px < palette.length, s"palette index $px out of range at ($x,$y)")
+        if (cur < 0) cur = px
+        else {
+          val key = cur.toLong << 12 | px
+          val hit = dict.get(key)
+          if (hit != null) cur = hit
+          else {
+            bw.put(cur, w)
+            if (next < 4096) {
+              dict.put(key, next); next += 1
+              // codes up to next-1 must fit the width the DECODER reads with
+              if (next > (1 << w) && w < 12) w += 1
+            } else { bw.put(clear, w); reset() }
+            cur = px
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (cur >= 0) bw.put(cur, w)
+    bw.put(end, w)
+    val data = bw.bytes()
+    var off = 0
+    while (off < data.length) { // <=255-byte sub-blocks
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /**
+   * Decode the first image of an 8-bit-palette GIF to top-down RGB. Hostile
+   * input rules match the other decoders: dims capped before allocation,
+   * sub-block lengths bounds-checked, LZW failures (bad first code,
+   * width-overflow, truncation, palette-index overflow) throw
+   * IllegalArgumentException — never hang, over-read, or over-allocate.
+   * Interlaced images and images without any color table are unsupported
+   * (loud).
+   */
+  def decodeGif(b: Array[Byte]): BmpImage = {
+    require(isGif(b), "not a GIF payload")
+    def u8(o: Int): Int = { require(o < b.length, "GIF truncated"); b(o) & 0xFF }
+    def u16(o: Int): Int = { require(o + 1 < b.length, "GIF truncated"); (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) }
+    var off = 6
+    val packed = u8(off + 4)
+    var table: Array[Byte] = null // 3 bytes per entry
+    off += 7
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 0x07)
+      require(off + 3L * n <= b.length, "GIF global color table truncated")
+      table = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+      off += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (u8(off) != 0x2C) {
+      u8(off) match {
+        case 0x21 => // extension: label byte + length-prefixed sub-blocks
+          off += 2
+          while (u8(off) != 0) {
+            val n = u8(off)
+            require(off + 1L + n <= b.length, "GIF extension sub-block truncated")
+            off += 1 + n
+          }
+          off += 1
+        case 0x3B => throw new IllegalArgumentException("GIF has no image block")
+        case t    => throw new IllegalArgumentException(f"unknown GIF block 0x$t%02x")
+      }
+    }
+    val width = u16(off + 5)
+    val height = u16(off + 7)
+    val ipacked = u8(off + 9)
+    off += 10
+    require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+    if ((ipacked & 0x80) != 0) {
+      val n = 2 << (ipacked & 0x07)
+      require(off + 3L * n <= b.length, "GIF local color table truncated")
+      table = java.util.Arrays.copyOfRange(b, off, off + 3 * n)
+      off += 3 * n
+    }
+    require(table != null, "GIF image without any color table unsupported")
+    require(width > 0 && height > 0 && width <= (1 << 16) && height <= (1 << 16) &&
+      width.toLong * height * 3 <= (1L << 30),
+      s"GIF dimensions out of bounds (${width}x$height)")
+    val nColors = table.length / 3
+
+    val minCode = u8(off); off += 1
+    require(minCode >= 2 && minCode <= 11, s"GIF LZW min code size $minCode out of range")
+    // concatenate the length-prefixed data sub-blocks
+    val dataBuf = new java.io.ByteArrayOutputStream()
+    var n = u8(off)
+    while (n != 0) {
+      require(off + 1L + n <= b.length, "GIF image data sub-block truncated")
+      dataBuf.write(b, off + 1, n)
+      off += 1 + n
+      n = u8(off)
+    }
+    val data = dataBuf.toByteArray
+
+    // LZW decode to palette indices
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = end + 1
+    var w = minCode + 1
+    var bitPos = 0
+    def readCode(): Int = {
+      require(bitPos + w <= data.length * 8, "GIF LZW stream truncated (no end code)")
+      var acc = 0
+      var got = 0
+      while (got < w) {
+        val byteI = (bitPos + got) >> 3
+        acc |= ((data(byteI) >> ((bitPos + got) & 7)) & 1) << got
+        got += 1
+      }
+      bitPos += w
+      acc
+    }
+    val out = new Array[Byte](width * height)
+    var outN = 0
+    val stack = new Array[Byte](4096)
+    // write string(code) into out, return its first byte — code must be a
+    // KNOWN code (literal or existing dictionary entry; callers handle KwKwK)
+    def emit(code: Int): Int = {
+      var sp = 0
+      var c = code
+      while (c >= clear + 2) { // dictionary entry: walk the suffix chain
+        require(c < next, s"GIF LZW code $c beyond dictionary")
+        stack(sp) = suffix(c); sp += 1
+        require(sp < stack.length, "GIF LZW corrupt chain")
+        c = prefix(c)
+      }
+      require(c < clear, s"GIF LZW chain ends at non-literal $c")
+      stack(sp) = c.toByte; sp += 1
+      require(outN + sp <= out.length, "GIF LZW output exceeds image dimensions")
+      var i = sp - 1
+      while (i >= 0) { out(outN) = stack(i); outN += 1; i -= 1 }
+      c
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == clear) {
+        next = end + 1; w = minCode + 1; prev = -1
+      } else if (code == end) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"GIF LZW first code $code after clear is not a literal")
+        require(outN < out.length, "GIF LZW output exceeds image dimensions")
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else {
+        require(code <= next, s"GIF LZW code $code beyond dictionary")
+        val first =
+          if (code == next) {
+            // KwKwK: the just-about-to-be-defined code = string(prev) + firstChar(prev)
+            val f = emit(prev)
+            require(outN < out.length, "GIF LZW output exceeds image dimensions")
+            out(outN) = f.toByte; outN += 1
+            f
+          } else emit(code)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          // the decoder lags the encoder's code counter by one: grow at ==
+          // where the encoder grows at > (derivation in encodeGif)
+          if (next == (1 << w) && w < 12) w += 1
+        }
+        prev = code
+      }
+    }
+    require(outN == out.length, s"GIF LZW produced $outN of ${out.length} pixels")
+
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < out.length) {
+      val idx = out(i) & 0xFF
+      require(idx < nColors, s"GIF pixel index $idx beyond color table ($nColors)")
+      rgb(i * 3) = table(idx * 3)
+      rgb(i * 3 + 1) = table(idx * 3 + 1)
+      rgb(i * 3 + 2) = table(idx * 3 + 2)
+      i += 1
+    }
+    BmpImage(width, height, rgb)
+  }
+
+  /** Sniff-and-decode for image containers with a real decoder (PNG/GIF/BMP). */
   def decodeImage(b: Array[Byte]): BmpImage =
-    if (isPng(b)) decodePng(b) else decodeBmp(b)
+    if (isPng(b)) decodePng(b)
+    else if (isGif(b)) decodeGif(b)
+    else decodeBmp(b)
+
+  /**
+   * Deterministic synthetic GIF media: every row a REAL single-frame GIF89a
+   * whose pixels and 64-color palette come from the closed-form formulas
+   * below — LZW is lossless, so the DuckDB oracle recomputes the DECODED
+   * channel sums exactly (q_media_gif), value-pinning the LZW dictionary
+   * round-trip, width growth, and palette mapping.
+   *
+   * Formulas (mirrored verbatim in SparkEntry's q_media_gif oracle — change
+   * together):
+   *   w = 11+(id%5)*6, h = 9+(id%7)*4
+   *   palette i in 0..63: r=(3i+id)%256, g=(5i+2id)%256, b=(7i+3id)%256
+   *   pixel index p(x,y) = (x*7 + y*11 + id) % 64
+   */
+  def syntheticGifMedia(spark: SparkSession, n: Long): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      it.map { boxed =>
+        val id: Long = boxed
+        val w = (11 + (id % 5) * 6).toInt
+        val h = (9 + (id % 7) * 4).toInt
+        val pal = Array.tabulate(64)(i => (
+          ((3 * i + id) % 256).toInt,
+          ((5 * i + 2 * id) % 256).toInt,
+          ((7 * i + 3 * id) % 256).toInt))
+        val payload = encodeGif(w, h, pal, (x, y) => ((x * 7 + y * 11 + id) % 64).toInt)
+        Media(id, "image", payload, w, h, 0, 0)
+      }
+    }
+  }
 
   /**
    * Deterministic synthetic PNG media: every row is a REAL 8-bit PNG —
@@ -594,7 +888,7 @@ object MultimodalOps {
         // starting "BM"/"RIFF"), and one malformed container must not kill a
         // corpus-scale job — any decode failure falls back to the stub features
         val feats = try {
-          if (isBmp(m.payload) || isPng(m.payload)) {
+          if (isBmp(m.payload) || isPng(m.payload) || isGif(m.payload)) {
             val img = decodeImage(m.payload)
             val (sr, sg, sb) = channelSums(img)
             val nPix = (img.width * img.height).toFloat max 1f

@@ -147,6 +147,56 @@ object SketchDialsProbe {
       .map(r => f""""${r.getString(0)}":{"mean_j":${r.getDouble(2)}%.4f,""" +
         f""""candidate_frac":${r.getLong(3).toDouble / r.getLong(1)}%.4f}""")
 
+    // ---- simhash at 10×: pigeonhole recall is STRUCTURAL — the things to
+    // validate at scale are (a) the block-width ⇔ corpus-size relation and
+    // (b) that the mega-bucket guard doesn't silently eat recall. maxH = 3
+    // (16-bit blocks) is the 50k-doc-scale dial: maxH = 6 gives 7 blocks of
+    // ~9 bits = 512 values, and 50k docs over 512 buckets is a pair
+    // explosion (measured: executor OOM) — block width must stay well above
+    // log2(corpus), exactly the scaling rule IMPLEMENTATION.md documents
+    val sigs = docs.select(col("doc_id"), DedupOps.simhash(col("text")).as("sig"))
+      .localCheckpoint(true)
+    val maxH = 3
+    val simExact = planted
+      .join(sigs.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
+      .join(sigs.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("h"))
+    val simPos = simExact.filter(col("h") <= maxH).localCheckpoint(true)
+    val nSimPos = simPos.count()
+    val tSim = System.nanoTime()
+    val simPairs = DedupOps.simhashNearDuplicates(docs, maxH).localCheckpoint(true)
+    val nSimPairs = simPairs.count()
+    val simSec = (System.nanoTime() - tSim) / 1e9
+    val simHit = simPos.join(simPairs.select("a", "b"), Seq("a", "b"), "left_semi").count()
+    val simRecall = if (nSimPos == 0) 1.0 else simHit.toDouble / nSimPos
+
+    // ---- winnowing at 10×: exact shared-distinct-fingerprint predicate on
+    // the planted pairs vs the operator's realized pair set. k = 16 (not the
+    // sf0.1 default 8): 8-char windows over a 5k-word vocabulary repeat
+    // across most of a 50k-doc corpus — hot-fingerprint buckets, another
+    // instance of the same grow-the-dial-with-the-corpus rule
+    val winK = 16; val winW = 8
+    val fps = docs.select(col("doc_id"),
+      array_distinct(DedupOps.winnowingSketch(col("text"), winK, winW)).as("fp"))
+      .localCheckpoint(true)
+    val winExact = planted
+      .join(fps.withColumnRenamed("doc_id", "a").withColumnRenamed("fp", "fp_a"), "a")
+      .join(fps.withColumnRenamed("doc_id", "b").withColumnRenamed("fp", "fp_b"), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("fp_a"), col("fp_b"))).as("shared"),
+        least(size(col("fp_a")), size(col("fp_b"))).as("min_fp"))
+      .filter(col("shared") >= greatest(lit(3), ceil(col("min_fp") * 0.35)))
+      .localCheckpoint(true)
+    val nWinPos = winExact.count()
+    val tWin = System.nanoTime()
+    val winPairs = DedupOps.winnowingNearDuplicates(docs, minShared = 3, k = winK, w = winW,
+      minSharedFrac = Some(0.35)).localCheckpoint(true)
+    val nWinPairs = winPairs.count()
+    val winSec = (System.nanoTime() - tWin) / 1e9
+    val winHit = winExact.join(winPairs.select("a", "b"), Seq("a", "b"), "left_semi").count()
+    val winRecall = if (nWinPos == 0) 1.0 else winHit.toDouble / nWinPos
+
     // ---- embedding LSH ----------------------------------------------------
     val nVec = nBase
     val nVecDup = nVec / 10
@@ -177,6 +227,8 @@ object SketchDialsProbe {
         s""""threshold":$threshold,"n_exact_positives":$nPos,""" +
         s""""minhash":{${minhashResults.mkString(",")}},""" +
         s""""minhash_r2_by_mutation_rate":{${byRate.mkString(",")}},""" +
+        f""""simhash":{"maxHamming":$maxH,"pairs":$nSimPairs,"n_exact_positives":$nSimPos,"planted_recall":$simRecall%.4f,"sec":$simSec%.1f},""" +
+        f""""winnowing":{"pairs":$nWinPairs,"n_exact_positives":$nWinPos,"planted_recall":$winRecall%.4f,"sec":$winSec%.1f},""" +
         s""""n_vec_positives":$nVPos,"embedding":{${embResults.mkString(",")}},""" +
         s""""dropped_buckets":$droppedBuckets,"dropped_members":$droppedMembers}"""
     println(json)

@@ -63,6 +63,15 @@ class OperatorSpec extends AnyFunSuite {
     val c = TextOps.stratifiedSample(df, "lang", rates, 0.1, salt = "other")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(c != a)
+    // NESTED samples: raising a rate only ADDS rows (hash-threshold sampling
+    // is monotone in the threshold) — a mixing config can be dialed up
+    // between runs without churning the previously selected subset, which
+    // is what keeps incremental corpus builds stable
+    val lo = TextOps.stratifiedSample(df, "lang", Map("en" -> 0.2), 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = TextOps.stratifiedSample(df, "lang", Map("en" -> 0.6), 0.15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
   }
 
   test("repetition metrics: degenerate docs score high, varied docs zero, short/null safe") {
@@ -309,6 +318,74 @@ class OperatorSpec extends AnyFunSuite {
     val adlerBad = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++
       chunk("IEND", Array.emptyByteArray)
     assertThrows[IllegalArgumentException](MultimodalOps.decodePng(adlerBad))
+  }
+
+  test("GIF decode: independent hand-packed LZW golden; dictionary round-trip; hostile inputs") {
+    // independent byte-level construction: container AND the LZW code stream
+    // are packed by the test's own bit packer (covers width growth at
+    // next == 1<<w), so a matching encoder/decoder bug pair cannot cancel
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = { // (code, width), LSB-first
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0; var n = 0
+      codes.foreach { case (c, w) =>
+        acc |= c << n; n += w
+        while (n >= 8) { out.write(acc & 0xFF); acc >>>= 8; n -= 8 }
+      }
+      if (n > 0) out.write(acc & 0xFF)
+      out.toByteArray
+    }
+    def gif(w: Int, h: Int, gctSizeBits: Int, colors: Seq[(Int, Int, Int)],
+            minCode: Int, lzw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes); out.write(w); out.write(0); out.write(h); out.write(0)
+      out.write(0x80 | gctSizeBits); out.write(0); out.write(0)
+      colors.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+      out.write(0x2C); out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w); out.write(0); out.write(h); out.write(0); out.write(0)
+      out.write(minCode); out.write(lzw.length); out.write(lzw, 0, lzw.length)
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    val colors = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220))
+    // 2x2, pixels 0,1,2,3. minCode=2: CLEAR=4, END=5. Width trace: codes
+    // 4,0,1,2 at 3 bits (after code 2 the dict hits 8 entries → grow), then
+    // 3 and END at 4 bits — exactly the decoder's lag-by-one rule.
+    val lzw = pack(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
+    val img = MultimodalOps.decodeGif(gif(2, 2, 1, colors, 2, lzw))
+    assert((img.width, img.height) == (2, 2))
+    assert(img.rgb.map(_ & 0xFF).toSeq == Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220))
+
+    // encoder round-trip with a 16k-pixel high-entropy pattern: builds
+    // thousands of dictionary entries, exercises width growth to 12 bits and
+    // the clear-on-full reset; verify every pixel through the palette
+    val pal = Array.tabulate(64)(i => (i * 3 % 256, i * 5 % 256, i * 7 % 256))
+    val (w2, h2) = (160, 100)
+    def idx(x: Int, y: Int) = (x * 31 + y * 17 + (x ^ y)) % 64
+    val rt = MultimodalOps.decodeGif(MultimodalOps.encodeGif(w2, h2, pal, idx))
+    assert(rt.width == w2 && rt.height == h2)
+    for (y <- Seq(0, 1, 37, 99); x <- Seq(0, 1, 63, 159)) {
+      val (r, g, b) = pal(idx(x, y))
+      val o = (y * w2 + x) * 3
+      assert((rt.rgb(o) & 0xFF, rt.rgb(o + 1) & 0xFF, rt.rgb(o + 2) & 0xFF) == ((r, g, b)), s"($x,$y)")
+    }
+    // KwKwK golden: stream CLEAR,1,6 — code 6 == next ⇒ string(1)+'1' ⇒
+    // pixels 1,1,1 on a 3x1 canvas
+    val kwk = pack(Seq((4, 3), (1, 3), (6, 3), (5, 3)))
+    val kimg = MultimodalOps.decodeGif(gif(3, 1, 1, colors, 2, kwk))
+    assert(kimg.rgb.map(_ & 0xFF).toSeq == Seq(40, 50, 60, 40, 50, 60, 40, 50, 60))
+
+    // hostile: first code after clear not a literal
+    val badFirst = pack(Seq((4, 3), (6, 3), (5, 3)))
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 2, badFirst)))
+    // hostile: LZW literal beyond the color table (minCode 3 over a 4-color GCT)
+    val overPal = pack(Seq((8, 4), (7, 4), (7, 4), (7, 4), (7, 4), (9, 4)))
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 3, overPal)))
+    // hostile: stream ends without END code (truncation must throw, not spin)
+    val noEnd = pack(Seq((4, 3), (0, 3)))
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 2, noEnd)))
+    // hostile: more pixels than the dims admit
+    val tooMany = pack(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (0, 4), (5, 4)))
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 2, tooMany)))
   }
 
   test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {

@@ -209,6 +209,23 @@ object GraftProperties extends Properties("graft") {
       catch { case _: IllegalArgumentException => true } // any other escape (or a hang) fails
     }
 
+  property("decodeGif on arbitrary GIF-framed bytes: decodes or IllegalArgumentException") =
+    forAll(byteSoup) { noise =>
+      val payload = "GIF89a".getBytes ++ noise
+      try { graft.operators.MultimodalOps.decodeGif(payload); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+
+  property("decodeGif on a valid GIF with a corrupted byte: decodes or IllegalArgumentException") =
+    forAll(Gen.chooseNum(0, 500), Gen.chooseNum(-128, 127).map(_.toByte)) { (pos, junk) =>
+      val pal = Array.tabulate(16)(i => (i * 5, i * 9, i * 13))
+      val ok = graft.operators.MultimodalOps.encodeGif(9, 7, pal, (x, y) => (x * 3 + y) % 16)
+      val i = 6 + pos % (ok.length - 6)
+      val bad = ok.clone(); bad(i) = junk
+      try { graft.operators.MultimodalOps.decodeGif(bad); true }
+      catch { case _: IllegalArgumentException => true }
+    }
+
   property("decodePng on a valid PNG with corrupted tail bytes: decodes or IllegalArgumentException") =
     forAll(Gen.chooseNum(0, 200), Gen.chooseNum(-128, 127).map(_.toByte)) { (pos, junk) =>
       // structured fuzz: single-byte corruption of a REAL container reaches
