@@ -889,7 +889,7 @@ object SparkEntry {
          |          GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
          |d0 AS (SELECT raw.* FROM raw JOIN keep0 USING (doc_id)),
          |tok AS (SELECT doc_id,
-         |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |          string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS toks
          |        FROM raw),
          |dsh AS (SELECT tok.doc_id,
          |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]

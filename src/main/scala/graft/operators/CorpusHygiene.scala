@@ -44,12 +44,6 @@ object CorpusHygiene {
       sampleSalt: String = "graft-mix",
       redact: Boolean = true)
 
-  /** Map-side duplicate-token fraction of a staged token-array attribute
-    * (HOF-lambda CSE rule: `toks` must be a real projection column). */
-  private def dupTokenFrac(toks: Column): Column =
-    lit(1.0) - size(array_distinct(toks)).cast("double") /
-      greatest(size(toks), lit(1))
-
   /**
    * Run the hygiene chain over `documents(doc_id, lang, text, ...)`.
    * Lazy — one DataFrame out; callers count stage effects themselves if
@@ -80,11 +74,13 @@ object CorpusHygiene {
       case _ => ()
     }
 
-    // 4. repetition filter: pure map-side (staged token array, no join)
+    // 4. repetition filter: pure map-side (staged token array, no join);
+    //    the SHARED TextOps.dupTokenFrac definition — identical to the
+    //    q_repetition-gated metric by construction
     if (cfg.maxDupTokenFrac < 1.0) {
       d = d
         .withColumn("toks", split(DedupOps.normText(coalesce(col("text"), lit(""))), " "))
-        .filter(dupTokenFrac(col("toks")) <= cfg.maxDupTokenFrac)
+        .filter(TextOps.dupTokenFrac(col("toks")) <= cfg.maxDupTokenFrac)
         .drop("toks")
     }
 

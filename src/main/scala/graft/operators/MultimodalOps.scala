@@ -466,6 +466,10 @@ object MultimodalOps {
                 palette: Array[(Int, Int, Int)],
                 index: (Int, Int) => Int): Array[Byte] = {
     require(palette.nonEmpty && palette.length <= 256, s"palette size ${palette.length}")
+    // header fields are 16-bit: silently truncating would emit a container
+    // whose pixel stream disagrees with its own declared dimensions
+    require(width > 0 && height > 0 && width <= 0xFFFF && height <= 0xFFFF,
+      s"GIF dimensions out of range (${width}x$height)")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     // logical screen descriptor: GCT present, 256 entries (size bits = 7)
@@ -589,7 +593,10 @@ object MultimodalOps {
     val nColors = table.length / 3
 
     val minCode = u8(off); off += 1
-    require(minCode >= 2 && minCode <= 11, s"GIF LZW min code size $minCode out of range")
+    // spec caps min code size at 8 (palette indices are bytes): accepting
+    // 9-11 would let literal codes 256..2047 truncate mod 256 into WRONG
+    // palette entries via .toByte instead of failing
+    require(minCode >= 2 && minCode <= 8, s"GIF LZW min code size $minCode out of range")
     // concatenate the length-prefixed data sub-blocks
     val dataBuf = new java.io.ByteArrayOutputStream()
     var n = u8(off)
@@ -608,14 +615,18 @@ object MultimodalOps {
     val suffix = new Array[Byte](4096)
     var next = end + 1
     var w = minCode + 1
-    var bitPos = 0
+    // Long bit cursor: a legal max-dimension GIF can carry hundreds of MB of
+    // LZW data, where `data.length * 8` and the cursor itself wrap Int —
+    // turning the truncation guard into a spurious reject or an
+    // ArrayIndexOutOfBoundsException that escapes the decode contract
+    var bitPos = 0L
     def readCode(): Int = {
-      require(bitPos + w <= data.length * 8, "GIF LZW stream truncated (no end code)")
+      require(bitPos + w <= data.length.toLong * 8, "GIF LZW stream truncated (no end code)")
       var acc = 0
       var got = 0
       while (got < w) {
-        val byteI = (bitPos + got) >> 3
-        acc |= ((data(byteI) >> ((bitPos + got) & 7)) & 1) << got
+        val byteI = ((bitPos + got) >> 3).toInt
+        acc |= ((data(byteI) >> ((bitPos + got) & 7).toInt) & 1) << got
         got += 1
       }
       bitPos += w

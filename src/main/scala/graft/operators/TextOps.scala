@@ -121,9 +121,12 @@ object TextOps {
    * Per-stratum rates are a broadcast-free literal map lookup; sampling a
    * 100 TB corpus is exactly one codegen'd scan.
    */
+  /** @param keyCol the unique-id column the sampling hash keys on (the
+    *   sampled subset is a deterministic function of (keyCol, salt) alone) */
   def stratifiedSample(documents: DataFrame, strataCol: String,
                        rates: Map[String, Double], defaultRate: Double,
-                       salt: String = "graft-mix"): DataFrame = {
+                       salt: String = "graft-mix",
+                       keyCol: String = "doc_id"): DataFrame = {
     val thr =
       if (rates.isEmpty) lit(rateThreshold(defaultRate))
       else {
@@ -132,12 +135,19 @@ object TextOps {
         coalesce(element_at(map_from_arrays(keys, vals), col(strataCol)),
           lit(rateThreshold(defaultRate)))
       }
-    documents.filter(portableRowHash(col("doc_id"), salt) < thr)
+    documents.filter(portableRowHash(col(keyCol), salt) < thr)
   }
 
   // -------------------------------------------------------------------------
   // intra-document repetition (Gopher/RefinedWeb-style quality signal)
   // -------------------------------------------------------------------------
+
+  /** Duplicate-token fraction of a STAGED token-array attribute (HOF-lambda
+    * CSE rule: pass a real projection column). THE single definition — the
+    * q_repetition oracle gates it, and CorpusHygiene's filter stage must
+    * stay bit-identical to it (the q_hygiene composition oracle assumes so). */
+  def dupTokenFrac(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
 
   /**
    * Within-document repetition metrics: fraction of duplicate tokens and of
@@ -155,8 +165,7 @@ object TextOps {
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-          greatest(size(col("toks")), lit(1)), 6).as("dup_token_frac"),
+        round(dupTokenFrac(col("toks")), 6).as("dup_token_frac"),
         // shinglesFromTokens is already distinct; total 3-gram count is
         // n_tokens - 2 (docs with < 3 tokens produce one whole-text shingle
         // against a denominator of 1 → frac 0, mirrored by the oracle CASE)

@@ -386,6 +386,11 @@ class OperatorSpec extends AnyFunSuite {
     // hostile: more pixels than the dims admit
     val tooMany = pack(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (0, 4), (5, 4)))
     assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 2, tooMany)))
+    // hostile: minCode beyond the spec cap of 8 — literal codes >= 256 would
+    // otherwise truncate mod 256 into WRONG palette entries, silently
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(gif(2, 2, 1, colors, 9, lzw)))
+    // encoder refuses dims that don't fit the 16-bit header fields
+    assertThrows[IllegalArgumentException](MultimodalOps.encodeGif(70000, 10, pal, (_, _) => 0))
   }
 
   test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {
