@@ -441,6 +441,34 @@ object SparkEntry {
           lit("@example.org or 10.7."), (col("doc_id") % 200).cast("string"),
           lit(".99 tel +1 555 123 4567"))).as("redacted"))),
 
+    // --- sequence packing: concat-then-chunk layout of the corpus into
+    // fixed-length training sequences via a DISTRIBUTED two-level prefix sum
+    // (bucket totals → driver prefix → per-bucket windows; a global-order
+    // window would collapse the corpus into one partition). bucketWidth 100
+    // forces multiple buckets at every SF, so the cross-bucket offset
+    // arithmetic is on the oracle path.
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), seqLen = 2048, bucketWidth = 100L)),
+
+    // --- incremental dedup: new batch vs the HISTORICAL fingerprint store
+    // (the steady-state ingestion shape). Planted: 21 re-crawled docs whose
+    // text the store has seen (dropped by the anti-join) and 11 intra-batch
+    // duplicates (collapsed to the min doc_id). Group-structure oracle on
+    // normalized text (q_fingerprint precedent: xxhash64 isn't in DuckDB,
+    // but fingerprint-equality ≡ normalized-text-equality sans collisions).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val store0 = d.filter(col("doc_id") < 250)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      val batch = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .unionByName(d.filter(col("doc_id").between(100, 120))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id").between(250, 260))
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val (survivors, _) = TextOps.incrementalExactDedup(batch, store0)
+      survivors.select("doc_id")
+    }),
+
     // --- COMPOSED hygiene pipeline: exact dedup → decontaminate →
     // repetition filter → stratified sample → redact, end to end — the
     // oracle replays the whole chain in DuckDB, value-checking the
@@ -879,6 +907,35 @@ object SparkEntry {
          |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
          |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // token counts mirror q_text_metrics' n_tokens; the oracle's single
+    // global-order window IS the semantics the engine's two-level prefix sum
+    // must reproduce exactly
+    "q_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS "offset"
+        |      FROM c)
+        |SELECT doc_id, n_tokens, "offset",
+        |       "offset" // 2048 AS seq_id,
+        |       "offset" % 2048 AS offset_in_seq
+        |FROM o""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH norm AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM documents),
+        |hist AS (SELECT DISTINCT n FROM norm WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, n FROM norm WHERE doc_id >= 250 AND doc_id < 500
+        |  UNION ALL SELECT doc_id + 10000, n FROM norm WHERE doc_id BETWEEN 100 AND 120
+        |  UNION ALL SELECT doc_id + 20000, n FROM norm WHERE doc_id BETWEEN 250 AND 260),
+        |keep AS (SELECT n, min(doc_id) AS doc_id FROM batch GROUP BY n)
+        |SELECT doc_id FROM keep WHERE n NOT IN (SELECT n FROM hist)""".stripMargin,
 
     // the per-stage CTEs are the SAME SQL as q_dedup_exact / q_decontaminate
     // / q_repetition / q_sample_mix / q_redact_pii — composed in the engine's

@@ -173,6 +173,93 @@ object TextOps {
           greatest(size(col("toks")) - 2, lit(1)), 6).as("dup_shingle_frac"))
 
   // -------------------------------------------------------------------------
+  // sequence packing (training-batch preparation)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Concat-then-chunk SEQUENCE PACKING — the final step before a training
+   * run: documents are laid out in deterministic doc_id order into one
+   * virtual token stream, and each doc is assigned to the fixed-length
+   * training sequence containing its first token.
+   *
+   * The global cumulative token offset is computed with a DISTRIBUTED
+   * two-level prefix sum — the scale pattern a naive
+   * `Window.orderBy(doc_id)` misses (a global-order window collapses the
+   * whole corpus into ONE partition):
+   *   1. docs bucket by `doc_id / bucketWidth`; per-bucket token totals
+   *      (one row per bucket) collect to the driver, whose running prefix
+   *      becomes a broadcast-joined bucket-offset table;
+   *   2. the within-bucket cumulative sum is a window PARTITIONED BY bucket
+   *      — thousands of independent windows running in parallel.
+   * Driver memory is bounded by the bucket count (corpus/bucketWidth), and
+   * the only corpus-wide exchange is the bucket-window shuffle.
+   *
+   * @return (doc_id, n_tokens, offset, seq_id, offset_in_seq) — offset is
+   *   the doc's first-token position in the global stream; seq_id =
+   *   offset / seqLen; deterministic and partitioning-invariant
+   */
+  def packSequences(documents: DataFrame, seqLen: Int,
+                    bucketWidth: Long = 100000L): DataFrame = {
+    require(seqLen > 0 && bucketWidth > 0)
+    import org.apache.spark.sql.expressions.Window
+    val counted = documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+    // level 1: bucket totals → driver prefix (rows = corpus/bucketWidth,
+    // bounded by construction) → broadcast bucket-offset table
+    val spark = documents.sparkSession
+    val totals = counted.groupBy("bucket").agg(sum("n_tokens").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    import spark.implicits._
+    val bucketOffsets = offsets.toSeq.toDF("bucket", "bucket_offset")
+    // level 2: within-bucket running sum — window partitioned by bucket
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .join(broadcast(bucketOffsets), "bucket")
+      .withColumn("offset", col("bucket_offset") + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        (col("offset") / seqLen).cast("long").as("seq_id"),
+        pmod(col("offset"), lit(seqLen.toLong)).as("offset_in_seq"))
+  }
+
+  // -------------------------------------------------------------------------
+  // incremental dedup (batch vs historical store)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Incremental EXACT dedup of a new batch against a HISTORICAL fingerprint
+   * store — the steady-state shape of corpus ingestion (full-corpus re-dedup
+   * per batch would re-shuffle 100 TB for every daily increment):
+   *
+   *   survivors = batch-internal exact dedup, then anti-join on the store's
+   *   fingerprints; the updated store = old store ∪ survivors' fingerprints.
+   *
+   * The store is (fp: long) — 8 bytes per historical document, the only
+   * state the pipeline carries between batches. Returns (survivors,
+   * updatedStore); write the store back as the batch's snapshot (icelite)
+   * for exactly-once resumability.
+   */
+  def incrementalExactDedup(batch: DataFrame,
+                            store: DataFrame): (DataFrame, DataFrame) = {
+    val withFp = batch.withColumn("fp", fingerprint(col("text")))
+    // batch-internal dedup first (min doc_id per fp), then drop anything
+    // the historical store has seen
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val survivors = withFp
+      .withColumn("keep", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keep"))
+      .drop("keep")
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+    val updated = store.select(col("fp"))
+      .unionByName(survivors.select(col("fp"))).distinct()
+    (survivors.drop("fp"), updated)
+  }
+
+  // -------------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------------
 

@@ -105,6 +105,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3) == "clean text here, version 1.2")
   }
 
+  test("sequence packing: two-level prefix sum == serial layout, partitioning-invariant") {
+    val df = (0L until 50L).map(i => (i, ("tok " * ((i % 7) + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(df, seqLen = 10, bucketWidth = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reference: serial walk in doc_id order
+    var off = 0L
+    (0L until 50L).foreach { i =>
+      val n = i % 7 + 1
+      assert(got(i) == ((n, off, off / 10, off % 10)), s"doc $i: ${got(i)}")
+      off += n
+    }
+    // the offsets are a pure function of (doc_id, n_tokens) — physical
+    // partitioning of the input must not matter
+    val got2 = TextOps.packSequences(df.repartition(13), seqLen = 10, bucketWidth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 50L).forall(i => got2(i) == got(i)._2))
+  }
+
+  test("incremental dedup: store hits dropped, intra-batch dups collapsed, store grows") {
+    val store = Seq("seen before").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "brand new"),
+      (11L, "Seen  Before"), // historical hit modulo normalization
+      (12L, "another new"),
+      (13L, "brand new"))    // intra-batch duplicate of 10
+      .toDF("doc_id", "text")
+    val (survivors, updated) = TextOps.incrementalExactDedup(batch, store)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 12L))
+    assert(updated.count() == 3) // old fp + the two new survivors' fps
+  }
+
   test("hygiene pipeline: each stage drops its planted victim, survivors pass through redacted") {
     val docsDf = Seq(
       (1L, "en", "unique alpha beta gamma delta epsilon zeta eta theta"),
