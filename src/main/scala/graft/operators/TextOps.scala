@@ -198,6 +198,13 @@ object TextOps {
    *   the doc's first-token position in the global stream; seq_id =
    *   offset / seqLen; deterministic and partitioning-invariant
    */
+  /** Hard bound on the bucket-totals driver collect in [[packSequences]]:
+    * 16M (bucket, total) pairs ≈ a few hundred MB of driver heap. 10^12 docs
+    * at the default bucketWidth is 10^7 buckets — well inside; exceeding the
+    * bound means bucketWidth is mis-dialed for the corpus, which must be a
+    * diagnosis, not an OOM. */
+  val MaxDriverBuckets = 16000000L
+
   def packSequences(documents: DataFrame, seqLen: Int,
                     bucketWidth: Long = 100000L): DataFrame = {
     require(seqLen > 0 && bucketWidth > 0)
@@ -206,11 +213,19 @@ object TextOps {
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       (col("doc_id") / bucketWidth).cast("long").as("bucket"))
-    // level 1: bucket totals → driver prefix (rows = corpus/bucketWidth,
-    // bounded by construction) → broadcast bucket-offset table
+    // level 1: bucket totals → driver prefix (rows = corpus/bucketWidth) →
+    // broadcast bucket-offset table. Limit-probed (the Grounder.build cost
+    // switch shape): correctness needs the COMPLETE totals, so cap+1 rows
+    // means the dial is wrong and the build fails loudly
     val spark = documents.sparkSession
-    val totals = counted.groupBy("bucket").agg(sum("n_tokens").as("total"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val limitInt = math.min(MaxDriverBuckets, Int.MaxValue - 2L).toInt
+    val probed = counted.groupBy("bucket").agg(sum("n_tokens").as("total"))
+      .limit(limitInt + 1).collect()
+    if (probed.length > limitInt)
+      throw new IllegalStateException(
+        s"packSequences: more than $MaxDriverBuckets prefix-sum buckets — raise " +
+          s"bucketWidth (currently $bucketWidth) so corpus/bucketWidth fits the driver")
+    val totals = probed.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
     import spark.implicits._

@@ -124,6 +124,12 @@ class OperatorSpec extends AnyFunSuite {
     val got2 = TextOps.packSequences(df.repartition(13), seqLen = 10, bucketWidth = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert((0L until 50L).forall(i => got2(i) == got(i)._2))
+    // the 100 TB property: NO single-partition exchange anywhere — the
+    // within-bucket windows hash-partition by bucket (a global-order window
+    // would show Exchange SinglePartition and serialize the corpus)
+    val plan = TextOps.packSequences(df, seqLen = 10, bucketWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
   }
 
   test("incremental dedup: store hits dropped, intra-batch dups collapsed, store grows") {
