@@ -911,15 +911,18 @@ object SparkEntry {
     // token counts mirror q_text_metrics' n_tokens; the oracle's single
     // global-order window IS the semantics the engine's two-level prefix sum
     // must reproduce exactly
+    // the windowed SUM must be CAST back: DuckDB widens SUM(BIGINT) to
+    // HUGEINT, which `//`/`%` propagate — a schema mismatch against the
+    // engine's long columns even when every value is equal
     "q_pack_sequences" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |    CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens
         |  FROM documents),
         |o AS (SELECT doc_id, n_tokens,
-        |        SUM(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS "offset"
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
         |      FROM c)
         |SELECT doc_id, n_tokens, "offset",
         |       "offset" // 2048 AS seq_id,
@@ -935,7 +938,8 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 10000, n FROM norm WHERE doc_id BETWEEN 100 AND 120
         |  UNION ALL SELECT doc_id + 20000, n FROM norm WHERE doc_id BETWEEN 250 AND 260),
         |keep AS (SELECT n, min(doc_id) AS doc_id FROM batch GROUP BY n)
-        |SELECT doc_id FROM keep WHERE n NOT IN (SELECT n FROM hist)""".stripMargin,
+        |SELECT k.doc_id FROM keep k
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.n = k.n)""".stripMargin,
 
     // the per-stage CTEs are the SAME SQL as q_dedup_exact / q_decontaminate
     // / q_repetition / q_sample_mix / q_redact_pii — composed in the engine's

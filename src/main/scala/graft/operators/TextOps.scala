@@ -176,6 +176,13 @@ object TextOps {
   // sequence packing (training-batch preparation)
   // -------------------------------------------------------------------------
 
+  /** Hard bound on the bucket-totals driver collect in [[packSequences]]:
+    * 16M (bucket, total) pairs ≈ a few hundred MB of driver heap. 10^12 docs
+    * at the default bucketWidth is 10^7 buckets — well inside; exceeding the
+    * bound means bucketWidth is mis-dialed for the corpus, which must be a
+    * diagnosis, not an OOM. */
+  val MaxDriverBuckets = 16000000L
+
   /**
    * Concat-then-chunk SEQUENCE PACKING — the final step before a training
    * run: documents are laid out in deterministic doc_id order into one
@@ -186,33 +193,30 @@ object TextOps {
    * two-level prefix sum — the scale pattern a naive
    * `Window.orderBy(doc_id)` misses (a global-order window collapses the
    * whole corpus into ONE partition):
-   *   1. docs bucket by `doc_id / bucketWidth`; per-bucket token totals
+   *   1. docs bucket by `doc_id div bucketWidth`; per-bucket token totals
    *      (one row per bucket) collect to the driver, whose running prefix
    *      becomes a broadcast-joined bucket-offset table;
    *   2. the within-bucket cumulative sum is a window PARTITIONED BY bucket
    *      — thousands of independent windows running in parallel.
    * Driver memory is bounded by the bucket count (corpus/bucketWidth), and
-   * the only corpus-wide exchange is the bucket-window shuffle.
+   * the only corpus-wide exchange is the bucket-window shuffle. All index
+   * arithmetic is INTEGER `div`/`pmod` — a double-divide-then-cast drifts
+   * off the exact quotient once offsets pass 2^53, exactly the corpus sizes
+   * this operator exists for. Null text counts 0 tokens; null doc_id is
+   * rejected loudly (it has no position in the stream).
    *
    * @return (doc_id, n_tokens, offset, seq_id, offset_in_seq) — offset is
    *   the doc's first-token position in the global stream; seq_id =
-   *   offset / seqLen; deterministic and partitioning-invariant
+   *   offset div seqLen; deterministic and partitioning-invariant
    */
-  /** Hard bound on the bucket-totals driver collect in [[packSequences]]:
-    * 16M (bucket, total) pairs ≈ a few hundred MB of driver heap. 10^12 docs
-    * at the default bucketWidth is 10^7 buckets — well inside; exceeding the
-    * bound means bucketWidth is mis-dialed for the corpus, which must be a
-    * diagnosis, not an OOM. */
-  val MaxDriverBuckets = 16000000L
-
   def packSequences(documents: DataFrame, seqLen: Int,
                     bucketWidth: Long = 100000L): DataFrame = {
     require(seqLen > 0 && bucketWidth > 0)
     import org.apache.spark.sql.expressions.Window
     val counted = documents.select(
       col("doc_id"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+      coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tokens"),
+      expr(s"`doc_id` div $bucketWidth").as("bucket"))
     // level 1: bucket totals → driver prefix (rows = corpus/bucketWidth) →
     // broadcast bucket-offset table. Limit-probed (the Grounder.build cost
     // switch shape): correctness needs the COMPLETE totals, so cap+1 rows
@@ -225,7 +229,10 @@ object TextOps {
       throw new IllegalStateException(
         s"packSequences: more than $MaxDriverBuckets prefix-sum buckets — raise " +
           s"bucketWidth (currently $bucketWidth) so corpus/bucketWidth fits the driver")
-    val totals = probed.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val totals = probed.map { r =>
+      require(!r.isNullAt(0), "packSequences: null doc_id has no stream position")
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
     import spark.implicits._
@@ -237,7 +244,7 @@ object TextOps {
       .join(broadcast(bucketOffsets), "bucket")
       .withColumn("offset", col("bucket_offset") + sum("n_tokens").over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("offset"),
-        (col("offset") / seqLen).cast("long").as("seq_id"),
+        expr(s"`offset` div $seqLen").as("seq_id"),
         pmod(col("offset"), lit(seqLen.toLong)).as("offset_in_seq"))
   }
 
@@ -260,18 +267,25 @@ object TextOps {
    */
   def incrementalExactDedup(batch: DataFrame,
                             store: DataFrame): (DataFrame, DataFrame) = {
-    val withFp = batch.withColumn("fp", fingerprint(col("text")))
-    // batch-internal dedup first (min doc_id per fp), then drop anything
-    // the historical store has seen
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val survivors = withFp
-      .withColumn("keep", min("doc_id").over(w))
-      .filter(col("doc_id") === col("keep"))
-      .drop("keep")
+    // batch-internal dedup on NARROW (fp, doc_id) rows — the exactDuplicates
+    // shape: map-side partial agg collapses duplicates before the exchange
+    // and TEXT never rides a shuffle here (a window over full rows would
+    // shuffle the batch text by fp); then the store anti-join, also narrow
+    val keep = batch
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .join(store.select(col("fp")), Seq("fp"), "left_anti")
-    val updated = store.select(col("fp"))
-      .unionByName(survivors.select(col("fp"))).distinct()
-    (survivors.drop("fp"), updated)
+    // one join re-attaches the text to the surviving ids; dropDuplicates
+    // guards the degenerate double-appended-file case (two rows with the
+    // same doc_id AND text — the semi-join alone would emit both)
+    val survivors = batch
+      .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
+    // survivor fps are disjoint from the store by construction (left_anti)
+    // and internally unique (one per group) — a distinct() here would
+    // re-shuffle the ENTIRE historical store on every ingest batch
+    val updated = store.select(col("fp")).unionByName(keep.select("fp"))
+    (survivors, updated)
   }
 
   // -------------------------------------------------------------------------
