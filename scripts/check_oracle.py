@@ -58,6 +58,20 @@ def main():
             print(f"[FAIL] {name}: column mismatch {sorted(got_cols)} vs {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # column TYPES too (driver schema_match): DuckDB silently widens e.g.
+        # SUM(BIGINT) to HUGEINT, which string-compared values never reveal.
+        # (DBAPI description collapses everything to 'NUMBER' — DESCRIBE
+        # gives the real types.)
+        def types_of(sql):
+            return {r[0]: r[1].upper() for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        got_types = types_of(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        exp_types = types_of(oracle[name])
+        tbad = {c: (got_types[c], exp_types[c]) for c in got_cols
+                if got_types[c] != exp_types[c]}
+        if tbad:
+            print(f"[FAIL] {name}: column TYPE mismatch (engine vs oracle): {tbad}")
+            n_fail += 1
+            continue
         g = norm_rows([[canon(r[i]) for i in gidx] for r in got])
         e = norm_rows([[canon(r[i]) for i in eidx] for r in exp])
         if len(g) != len(e):
