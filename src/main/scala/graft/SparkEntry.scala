@@ -415,6 +415,18 @@ object SparkEntry {
       graft.operators.MultimodalOps.imageStats(
         graft.operators.MultimodalOps.syntheticGifMedia(s, 100)).toDF()),
 
+    // --- int8-quantized ANN: the embedding STORAGE dial (4× fewer vector
+    // bytes through every scan/cache/shuffle). Rounding is floor(x+0.5) —
+    // round()'s half-way semantics differ across engines, floor doesn't —
+    // so the oracle recomputes quantize→dequantize→cosine EXACTLY.
+    "q_ann_quantized" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+      SimilarityOps.bruteForceTopKQuantized(SimilarityOps.quantizeInt8(emb), queries, k = 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
     // --- data mixing: deterministic stratified sampling — the oracle
     // recomputes the EXACT sample (portable md5-derived row hash + integer
     // thresholds inlined on both sides; no RNG, no double→long divergence)
@@ -686,6 +698,30 @@ object SparkEntry {
     // all-lists IVF ≡ exact brute force (see the query comment) — the SAME
     // reference SQL by construction, shared so the two cannot drift apart
     "q_ann_ivf" -> bruteForceTopKSql,
+
+    // identical double arithmetic order to the engine on both the quantize
+    // and dequantize sides: (x*127)/scale + 0.5 floored, then (q*scale)/127
+    "q_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |dq AS (SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v,
+        |                x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT) * scale / 127.0)
+        |         END AS dv
+        |       FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, dq.vec_id,
+        |         round(list_cosine_similarity(dq.dv, q.qvec), 6) AS cos
+        |  FROM dq CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_text_metrics" ->
       """SELECT doc_id,

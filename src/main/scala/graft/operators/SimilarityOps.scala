@@ -185,4 +185,49 @@ object SimilarityOps {
       .filter(col("list_id").isin(probeLists: _*))
     rerank(corpus.join(broadcast(qs), "list_id"), k)
   }
+
+  // ------------------------------------------------------------------------
+  // int8 scalar quantization: the embedding STORAGE story at 100 TB — 4×
+  // fewer bytes through scans, caches and shuffles, at a recall cost the
+  // tests measure. Symmetric per-vector scaling (q = x * 127 / max|x|),
+  // rounding via floor(x + 0.5): round() half-way semantics differ between
+  // engines, floor is unambiguous everywhere — so the DuckDB oracle
+  // recomputes the quantized vectors and their cosines EXACTLY.
+  // ------------------------------------------------------------------------
+
+  /** (vec_id, scale: double, qvec: array<tinyint>) — `scale` is max|x|;
+    * dequantized component = qvec[i] * scale / 127. Zero vectors keep
+    * scale 0 (qvec all zeros; cosine against them is NaN-guarded by
+    * [[dequantized]]'s consumers exactly as for raw zero vectors). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", aggregate(col("v"), lit(0.0d), (acc, x) => greatest(acc, abs(x))))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0d, lit(0))
+            .otherwise(floor(x * 127.0d / col("scale") + 0.5d).cast("int")))
+          .cast("array<tinyint>").as("qvec"))
+
+  /** Dequantized double vector from (scale, qvec). */
+  def dequantized(scale: Column, qvec: Column): Column =
+    transform(qvec.cast("array<double>"), q => q * scale / 127.0d)
+
+  /**
+   * Exact top-k over the QUANTIZED corpus: same shape as [[bruteForceTopK]]
+   * (queries broadcast, corpus never shuffled) but the scan reads 1/4 the
+   * vector bytes; cosine runs on the dequantized values. Recall vs the
+   * full-precision top-k is measured in tests (≥ ~0.9 at int8 on the
+   * driver-provided embeddings); the decision to trade it for 4× IO is the
+   * caller's dial.
+   */
+  def bruteForceTopKQuantized(quantized: DataFrame, queries: DataFrame,
+                              k: Int = 5): DataFrame = {
+    val scored = quantized.withColumnRenamed("qvec", "q8") // queries carry "qvec"
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(dequantized(col("scale"), col("q8")), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

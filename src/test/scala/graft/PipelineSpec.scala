@@ -161,6 +161,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ic.readSnapshot(spark, "t").collect().nonEmpty)
   }
 
+  test("int8 quantization: bounded codes, extremes hit ±127, top-k recall vs full precision") {
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.bruteForceTopKQuantized(
+      SimilarityOps.quantizeInt8(emb), queries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.85, s"int8 top-k recall $recall below the dial's published floor")
+    // codes bounded in [-127, 127] (symmetric — -128 never appears) and the
+    // max-magnitude component quantizes to exactly ±127
+    val row = SimilarityOps.quantizeInt8(emb).select("qvec").head.getSeq[Byte](0)
+    assert(row.forall(b => b >= -127 && b <= 127))
+    assert(row.exists(b => b == 127 || b == -127))
+  }
+
   test("ANN LSH: beats random-scan baseline on isotropic data, near-exact on clustered data") {
     import spark.implicits._
     // (a) driver-provided embeddings are ISOTROPIC random (top-5 cosine ≈0.32,
