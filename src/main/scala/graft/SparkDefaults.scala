@@ -15,7 +15,7 @@ object SparkDefaults {
    * substitutes `e`'s aliases all the way down — so the filter re-evaluates
    * the ENTIRE array expression up to twice per row, with any expensive
    * subexpression re-inlined INSIDE HOF lambdas (re-evaluated per element,
-   * the CLAUDE.md CSE trap in optimizer-made form). Measured on the shingle
+   * the documented CSE trap in optimizer-made form). Measured on the shingle
    * gram plans: 3.9 s → 0.3 s for a 2000-doc explode (the inferred filter
    * re-split every text per lambda element, twice). The rule's benefit —
    * pruning empty/null arrays before the generate — is nil here: every

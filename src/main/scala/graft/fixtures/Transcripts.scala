@@ -118,7 +118,7 @@ object Transcripts {
         // planted lexicon term, the rest draw from a 20k-word noise
         // vocabulary — realistic mention density (~1-3 per turn), so bench
         // output volume tracks real corpora instead of being output-bound
-        // hash array staged through an inner transform (CLAUDE.md HOF rule:
+        // hash array staged through an inner transform (project HOF rule:
         // a `val h` spliced into three spots re-evaluates xxhash64 per
         // reference — as a lambda-bound element it computes ONCE per word);
         // same hash values, so the generated corpus is byte-identical
