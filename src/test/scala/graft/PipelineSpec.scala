@@ -390,6 +390,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(thrown eq boom)
   }
 
+  test("bulk runner parallel + icelite: concurrent snapshot writers never collide") {
+    import graft.pipeline.BulkRunner
+    import graft.sources.SourceResolver._
+    import java.nio.file.{Files, Paths}
+    val tr = Transcripts.synthetic(spark, 40)
+    val ic = new Icelite("target/icelite_bulkpar_" + System.nanoTime())
+    val jobs = (1 to 4).map(_ => BulkRunner.OntologyJob("PATO", Seq(JsonSource(ontPath))))
+    val reports = BulkRunner.run(spark, jobs, tr, MiniOntology.converter, Some(ic),
+      parallelism = 2)
+    assert(reports.forall(_.ok), reports.map(_.messages).mkString("; "))
+    // identical inputs → identical triple counts from every job
+    assert(reports.map(_.triples).distinct.size == 1)
+    for (table <- Seq("mentions_top", "kg_nodes", "kg_edges")) {
+      val snaps = Paths.get(ic.root, table, "snapshots")
+      val ids = Files.list(snaps).iterator()
+      val manifests = new scala.collection.mutable.ArrayBuffer[Long]()
+      while (ids.hasNext) {
+        val p = ids.next()
+        if (p.toString.endsWith(".json")) {
+          val id = p.getFileName.toString.stripSuffix(".json").toLong
+          manifests += id
+          // every committed manifest's data dir must exist (an id collision
+          // under concurrency would have one writer overwrite the other's)
+          val m = ic.manifestJson(table, id)
+          assert(m.contains(s""""snapshot_id":$id"""), m.take(120))
+          assert(Files.exists(Paths.get(ic.root, table, s"data/snap-$id")), s"$table snap-$id data missing")
+        }
+      }
+      assert(manifests.distinct.size == manifests.size)
+      // pointer lands on the max committed id; the snapshot it names reads back
+      assert(ic.currentSnapshotId(table).contains(manifests.max))
+      assert(ic.readSnapshot(spark, table).count() > 0)
+    }
+  }
+
   test("S3-S5: ConvertedSource runs an external converter, caches, and resolves") {
     import graft.sources.SourceResolver
     import graft.sources.SourceResolver._
