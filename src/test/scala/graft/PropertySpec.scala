@@ -209,6 +209,35 @@ object GraftProperties extends Properties("graft") {
       catch { case _: IllegalArgumentException => true } // any other escape (or a hang) fails
     }
 
+  property("PNG encode→decode round-trips arbitrary RGB/RGBA images exactly") =
+    forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 24), Gen.oneOf(true, false),
+      Gen.long) { (w, h, alpha, seed) =>
+      val rng = new scala.util.Random(seed)
+      val px = Array.fill(h, w)((rng.nextInt(256), rng.nextInt(256), rng.nextInt(256), rng.nextInt(256)))
+      val img = graft.operators.MultimodalOps.decodePng(
+        graft.operators.MultimodalOps.encodePng(w, h, alpha, (x, y) => px(y)(x)))
+      img.width == w && img.height == h &&
+        (0 until h).forall(y => (0 until w).forall { x =>
+          val (r, g, b, _) = px(y)(x); val o = (y * w + x) * 3
+          (img.rgb(o) & 0xFF) == r && (img.rgb(o + 1) & 0xFF) == g && (img.rgb(o + 2) & 0xFF) == b
+        })
+    }
+
+  property("GIF encode→decode round-trips arbitrary palette images exactly") =
+    forAll(Gen.chooseNum(1, 32), Gen.chooseNum(1, 32), Gen.chooseNum(2, 256),
+      Gen.long) { (w, h, nPal, seed) =>
+      val rng = new scala.util.Random(seed)
+      val pal = Array.fill(nPal)((rng.nextInt(256), rng.nextInt(256), rng.nextInt(256)))
+      val idx = Array.fill(h, w)(rng.nextInt(nPal))
+      val img = graft.operators.MultimodalOps.decodeGif(
+        graft.operators.MultimodalOps.encodeGif(w, h, pal, (x, y) => idx(y)(x)))
+      img.width == w && img.height == h &&
+        (0 until h).forall(y => (0 until w).forall { x =>
+          val (r, g, b) = pal(idx(y)(x)); val o = (y * w + x) * 3
+          (img.rgb(o) & 0xFF) == r && (img.rgb(o + 1) & 0xFF) == g && (img.rgb(o + 2) & 0xFF) == b
+        })
+    }
+
   property("decodeGif on arbitrary GIF-framed bytes: decodes or IllegalArgumentException") =
     forAll(byteSoup) { noise =>
       val payload = "GIF89a".getBytes ++ noise
