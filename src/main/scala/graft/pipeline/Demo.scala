@@ -36,6 +36,13 @@ object Demo {
     val nd = graft.operators.DedupOps.minhashNearDuplicates(docs, threshold = 0.8).count()
     val (gb, gm) = graft.operators.DedupOps.bucketGuardCounts(spark)
     println(s"DEDUP near_dup_pairs=$nd dropped_buckets=$gb dropped_members=$gm")
+    // retention vacuum: repeated Demo runs accumulate one kg_edges/kg_nodes
+    // snapshot each — expire all but the last two, keeping the mentions
+    // snapshot's resume tag intact (re-runs must still reuse the stage)
+    val expired = Seq("kg_edges", "kg_nodes").map(t => t -> ic.expireSnapshots(t, keepLast = 2))
+    println(s"VACUUM ${expired.map { case (t, ids) => s"$t=${ids.size}" }.mkString(" ")} " +
+      s"current=${ic.currentSnapshotId("kg_edges").getOrElse(-1L)} " +
+      s"mentions_reusable=${ic.findByTag("mentions_top", "run/mentions").isDefined}")
     spark.stop()
   }
 }
