@@ -427,6 +427,21 @@ object SparkEntry {
         .select("query_id", "vec_id", "cos", "rank")
     }),
 
+    // --- product quantization (PQ4×8 on dim 64 → 4 bytes/vector, 64×):
+    // per-subspace assignment via the native CentroidIds kernel over
+    // DETERMINISTIC codebooks, reconstruction + cosine top-k. The oracle
+    // inlines the same codebook literals and mirrors the kernel's exact
+    // dim-order double arithmetic and first-min tie rule.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+      val books = SimilarityOps.pqCodebooks()
+      SimilarityOps.bruteForceTopKPq(
+        SimilarityOps.pqEncode(emb, books), books, queries, k = 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
     // --- data mixing: deterministic stratified sampling — the oracle
     // recomputes the EXACT sample (portable md5-derived row hash + integer
     // thresholds inlined on both sides; no RNG, no double→long divergence)
@@ -538,7 +553,54 @@ object SparkEntry {
       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** PQ oracle: per-subspace squared-L2 distance lists (the SAME left-assoc
+    * dim-order addition as CentroidIds.kernel), first-min assignment via
+    * list_position(list_min), reconstruction by CASE over the inlined
+    * codebook literals. Codebooks are [[SimilarityOps.pqCodebooks]] — the
+    * exact literals the engine query binds. */
+  private def pqOracleSql: String = {
+    val books = SimilarityOps.pqCodebooks()
+    val m = books.length
+    val subDim = books(0)(0).length
+    def distList(s: Int): String =
+      books(s).map { cen =>
+        cen.zipWithIndex.map { case (c, i) =>
+          val idx = s * subDim + i + 1
+          s"((v[$idx]::DOUBLE - $c) * (v[$idx]::DOUBLE - $c))"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+    def reconCase(s: Int): String =
+      s"CASE c$s " + books(s).zipWithIndex.map { case (cen, ci) =>
+        s"WHEN $ci THEN [${cen.mkString(",")}]"
+      }.mkString(" ") + " END"
+    val dCols = (0 until m).map(s => s"${distList(s)} AS d$s").mkString(",\n        ")
+    val cCols = (0 until m)
+      .map(s => s"CAST(list_position(d$s, list_min(d$s)) - 1 AS INT) AS c$s")
+      .mkString(",\n        ")
+    val recon = (0 until m).map(reconCase).reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |a AS (SELECT vec_id, v,
+       |        $dCols
+       |      FROM e),
+       |c AS (SELECT vec_id, v,
+       |        $cCols
+       |      FROM a),
+       |r AS (SELECT vec_id, $recon AS dv FROM c),
+       |q AS (SELECT vec_id AS query_id, v::DOUBLE[] AS qvec FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, r.vec_id,
+       |         round(list_cosine_similarity(r.dv, q.qvec), 6) AS cos
+       |  FROM r CROSS JOIN q),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_pq" -> pqOracleSql,
     "q_compress_iri" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'EXD:' || CAST(doc_id AS VARCHAR)

@@ -230,4 +230,71 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------------
+  // Product quantization (PQ): codebook compression — m sub-spaces, k
+  // centroids each, one byte code per sub-space (m bytes per vector vs
+  // 4·dim; PQ4×8 on dim-64 floats is 64×). The per-subspace assignment
+  // reuses the native CentroidIds kernel, so its exact dim-order double
+  // arithmetic and first-min tie rule are what the oracle mirrors.
+  // ------------------------------------------------------------------------
+
+  /** Deterministic pseudo-random codebooks — the ORACLE configuration (the
+    * SQL side inlines exactly these literals; production uses [[trainPq]]). */
+  def pqCodebooks(m: Int = 4, k: Int = 8, subDim: Int = 16,
+                  seed: Long = 7L): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(m)(Array.fill(k)(Array.fill(subDim)(rng.nextGaussian())))
+  }
+
+  /** Production codebooks: per-subspace k-means on the (hash-capped, like
+    * [[trainIvf]]) corpus slices. */
+  def trainPq(embeddings: DataFrame, m: Int = 4, k: Int = 8, dim: Int = 64,
+              seed: Long = 42L, maxTrainRows: Long = 100000L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val n = embeddings.count()
+    val train =
+      if (n <= maxTrainRows) embeddings
+      else embeddings.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
+    (0 until m).toArray.map { s =>
+      val vecs = train.select(array_to_vector(
+        slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(k).setMaxIter(10).setSeed(seed + s)
+        .setFeaturesCol("features").fit(vecs).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** (vec_id, codes: array<tinyint> of length m) — m bytes per vector. */
+  def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    embeddings.select(col("vec_id"),
+      array(codebooks.indices.map { s =>
+        element_at(graft.functions.CentroidIds(
+          slice(col("embedding"), s * subDim + 1, subDim), codebooks(s), 1), 1)
+      }: _*).cast("array<tinyint>").as("codes"))
+  }
+
+  /** Reconstructed double vector from PQ codes (codebook lookup per subspace). */
+  def pqReconstructed(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    concat(codebooks.indices.map { s =>
+      element_at(typedLit(codebooks(s).map(_.toSeq).toSeq),
+        element_at(codes, s + 1).cast("int") + 1)
+    }: _*)
+
+  /** Exact top-k over PQ RECONSTRUCTIONS — same broadcast-queries shape as
+    * [[bruteForceTopK]]; the scan reads m bytes of codes per vector. Recall
+    * depends on the codebooks (trained ≫ random); tests measure it on
+    * clustered data. */
+  def bruteForceTopKPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+                       queries: DataFrame, k: Int = 5): DataFrame = {
+    val scored = codes.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(pqReconstructed(col("codes"), codebooks), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }
