@@ -178,6 +178,11 @@ final class Icelite(rootDir: String) extends Serializable {
    * the manifest goes FIRST (so findByTag can never resolve a snapshot whose
    * data is half-deleted — it recomputes instead), then the data directory.
    *
+   * Sidecar files written NEXT TO the table by other components (e.g.
+   * KgPipeline's `metrics/<id>.json` diagnostics) are deliberately not
+   * touched: they are byte-sized run logs whose value outlives the data,
+   * and deleting files Icelite didn't write would be overreach.
+   *
    * @return ids actually expired
    */
   def expireSnapshots(table: String, keepLast: Int, keepTags: Seq[String] = Nil): Seq[Long] =

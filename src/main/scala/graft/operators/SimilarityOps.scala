@@ -114,19 +114,26 @@ object SimilarityOps {
    * partitions, which under clustered/bucketed layouts is one region of the
    * space.
    */
+  /** Deterministic hash-capped training sample, shared by [[trainIvf]] and
+    * [[trainPq]]. CEILING divisor: floor(n/max) is 1 for max < n < 2*max
+    * (cap becomes a no-op) and overshoots by up to ~2x in general; ceil
+    * keeps the expected sample size <= maxTrainRows for every n. Uniform in
+    * vec_id and independent of storage order — a `limit` would train only
+    * on the first partitions. */
+  private def hashCappedSample(embeddings: DataFrame, maxTrainRows: Long,
+                               seed: Long): DataFrame = {
+    val n = embeddings.count()
+    if (n <= maxTrainRows) embeddings
+    else embeddings.filter(
+      pmod(xxhash64(col("vec_id"), lit(seed)),
+        lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
+  }
+
   def trainIvf(embeddings: DataFrame, nLists: Int = 16, maxIter: Int = 10,
                seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val n = embeddings.count()
-    val train =
-      if (n <= maxTrainRows) embeddings
-      else embeddings.filter(
-        // CEILING divisor: floor(n/max) is 1 for max < n < 2*max (cap becomes
-        // a no-op) and overshoots by up to ~2x in general; ceil keeps the
-        // expected sample size <= maxTrainRows for every n
-        pmod(xxhash64(col("vec_id"), lit(seed)),
-          lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
+    val train = hashCappedSample(embeddings, maxTrainRows, seed)
     val vecs = train.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(nLists).setMaxIter(maxIter).setSeed(seed)
@@ -254,23 +261,33 @@ object SimilarityOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(k >= 1 && k <= 127, s"k must fit a byte code: $k (tinyint codes, sign reserved)")
     val subDim = dim / m
-    val n = embeddings.count()
-    val train =
-      if (n <= maxTrainRows) embeddings
-      else embeddings.filter(
-        pmod(xxhash64(col("vec_id"), lit(seed)), lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
-    (0 until m).toArray.map { s =>
-      val vecs = train.select(array_to_vector(
-        slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(k).setMaxIter(10).setSeed(seed + s)
-        .setFeaturesCol("features").fit(vecs).clusterCenters.map(_.toArray)
-    }
+    // ONE projection of all m subvector slices, persisted: the m sequential
+    // k-means fits would otherwise each re-scan (and re-filter) the corpus
+    val sliced = hashCappedSample(embeddings, maxTrainRows, seed)
+      .select((0 until m).map(s => array_to_vector(
+        slice(col("embedding").cast("array<double>"), s * subDim + 1, subDim)).as(s"f$s")): _*)
+      .persist()
+    try {
+      (0 until m).toArray.map { s =>
+        new KMeans().setK(k).setMaxIter(10).setSeed(seed + s)
+          .setFeaturesCol(s"f$s").fit(sliced).clusterCenters.map(_.toArray)
+      }
+    } finally sliced.unpersist(blocking = false)
   }
 
-  /** (vec_id, codes: array<tinyint> of length m) — m bytes per vector. */
+  /** (vec_id, codes: array<tinyint> of length m) — m bytes per vector.
+    * Codebook shape is validated here: centroid counts beyond 127 would wrap
+    * the tinyint cast SILENTLY (ids 128.. become negative bytes, and the
+    * +1-indexed reconstruction lookup would then index from the array END
+    * instead of erroring). The embedding dim must equal m·subDim. */
   def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(b => b.nonEmpty && b.length <= 127),
+      "each PQ codebook needs 1..127 centroids (codes are signed bytes)")
     val subDim = codebooks(0)(0).length
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      "PQ codebooks must share one subvector dimension")
     embeddings.select(col("vec_id"),
       array(codebooks.indices.map { s =>
         element_at(graft.functions.CentroidIds(
@@ -291,9 +308,13 @@ object SimilarityOps {
     * clustered data. */
   def bruteForceTopKPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
                        queries: DataFrame, k: Int = 5): DataFrame = {
-    val scored = codes.crossJoin(broadcast(queries))
+    // reconstruction staged ONCE per corpus row, before the broadcast cross
+    // join — inlined it would re-run per (row × query) pair
+    val recon = codes.select(col("vec_id"),
+      pqReconstructed(col("codes"), codebooks).as("dv"))
+    val scored = recon.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(pqReconstructed(col("codes"), codebooks), col("qvec")), 6).as("cos"))
+        round(cosine(col("dv"), col("qvec")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
