@@ -241,8 +241,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErrs = results.count(_.err.isDefined)
     val total = results.collect { case QStat(_, v, _, _, None) => v }.sum
-    val scaling =
-      f"""{"protocol":"N vs 4N cores on the same seed-fixed conv_id-bucketed parquet corpus (Iceberg layout, written once outside timing): headline = local[2] vs local[8] (per-core DRAM bandwidth constant, as when a cluster adds executors); local[8] vs local[32] saturates the single box's shared memory controller and is reported as efficiency_8_32 (roofline decomposition in BASELINE.md). Interleaved fresh-session rounds, min of passes, stability-terminated",""" +
+    def scaling(protocol: String) =
+      f"""{"protocol":"$protocol",""" +
         f""""n_turns":${turns(8)},"n_triples":${triples(8)},""" +
         f""""sec_2":$sec2%.2f,"sec_8":$sec8%.2f,"sec_32":$sec32%.2f,""" +
         f""""turns_per_sec_2":$thr2%.0f,"turns_per_sec_8":$thr8%.0f,"turns_per_sec_32":$thr32%.0f,""" +
@@ -250,15 +250,36 @@ object Bench {
         f""""efficiency":$eff%.3f,""" +
         f""""efficiency_8_32":$eff832%.3f,""" +
         f""""identical_output":$identical}"""
+    // the stdout CONTRACT line stays minimal: round-4's line grew to ~4.2 KB
+    // (the query_stats map) and the driver's tail-window parser dropped it
+    // (BENCH_r04 parsed:null) — per-query {min,max,n} detail and the full
+    // protocol prose live ONLY in target/bench.json from round 5 on
+    val shortProtocol = "N-vs-4N cores: local[2]/[8]/[32] interleaved fresh " +
+      "sessions, min of passes; headline eff = 2 to 8; details in BASELINE.md"
+    val longProtocol = "N vs 4N cores on the same seed-fixed conv_id-bucketed " +
+      "parquet corpus (Iceberg layout, written once outside timing): headline = " +
+      "local[2] vs local[8] (per-core DRAM bandwidth constant, as when a cluster " +
+      "adds executors); local[8] vs local[32] saturates the single box's shared " +
+      "memory controller and is reported as efficiency_8_32 (roofline " +
+      "decomposition in BASELINE.md). Interleaved fresh-session rounds, min of " +
+      "passes, stability-terminated"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""query_stats":$qStats,"query_errors":$nErrs,"sf":"$sfDir","scaling":$scaling}"""
+        s""""query_errors":$nErrs,"sf":"$sfDir","scaling":${scaling(shortProtocol)}}"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""query_stats":$qStats,"query_errors":$nErrs,"sf":"$sfDir","scaling":${scaling(longProtocol)}}"""
+    // hard bound, asserted BEFORE printing: a future field creeping past the
+    // driver's tail window must fail the run loudly, not silently un-parse
+    require(json.length <= 2048,
+      s"bench stdout contract line is ${json.length} bytes (> 2048): move new " +
+        "fields to target/bench.json, the stdout line must stay parseable")
     // belt and braces: the driver parses stdout, but sbt log decoration has
     // eaten the line before (round-1 parsed:null) — also persist to a
     // well-known file so the signal always lands.
     val benchFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(benchFile.getParent)
-    java.nio.file.Files.write(benchFile, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(benchFile, fullJson.getBytes("UTF-8"))
     println(json)
   }
 }

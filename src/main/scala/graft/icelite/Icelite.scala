@@ -26,11 +26,23 @@ import org.apache.spark.sql.functions._
  * current, which is exactly the resume contract (kill after stage k → rerun
  * reuses every stage whose manifest landed; BASELINE.md resumability row).
  *
- * Concurrency: safe for MULTIPLE THREADS of one driver (a parallel bulk
- * sweep writing different jobs' snapshots): ids are allocated from a
- * per-instance counter seeded from disk, so two concurrent writes can never
- * claim the same snapshot id, and the `current` pointer only ever advances.
- * NOT safe for multiple independent driver PROCESSES on one root.
+ * Concurrency: snapshot ids are claimed CAS-style — `snapshots/<id>.claim`
+ * is created with CREATE_NEW (atomic fail-if-exists on POSIX), so two
+ * writers can never share an id even across INSTANCES or PROCESSES on one
+ * root; the claim also shields the in-flight snapshot's data dir from
+ * another instance's [[expireSnapshots]] orphan sweep, and is removed once
+ * the write commits (or fails — a failed write's unreferenced data dir
+ * becomes sweepable). The `current` pointer only ever advances, but the
+ * pointer update itself is last-writer-wins per process (the id claim makes
+ * ids unique; two processes racing the pointer still both land ≥ their own
+ * id, and a stale smaller value is impossible because each process checks
+ * `current < id` under its own lock — cross-process the check-then-write is
+ * not atomic, so with multi-PROCESS writers `current` may transiently lag
+ * the true max by one write; manifests remain the source of truth and
+ * [[maxSnapshotId]] prefers them). Crash hygiene: a writer that dies
+ * mid-write leaves its `.claim` behind, which permanently shields that one
+ * id's data dir from the orphan sweep — deleting stale `.claim` files (no
+ * matching manifest, old mtime) is an operator action by design.
  */
 final class Icelite(rootDir: String) extends Serializable {
 
@@ -74,19 +86,50 @@ final class Icelite(rootDir: String) extends Serializable {
     math.max(fromManifests, currentSnapshotId(table).getOrElse(0L))
   }
 
-  /** Allocate the next snapshot id — unique across concurrent writers. */
+  /** Allocate the next snapshot id — unique across concurrent writers,
+    * instances AND processes: the candidate is claimed by atomically creating
+    * `snapshots/<id>.claim` (CREATE_NEW fails if another writer got there
+    * first → bump and retry). The claim outlives this call until
+    * [[writeSnapshot]] commits or fails, shielding the id from every
+    * instance's orphan sweep in between. */
   private def allocateId(table: String): Long = this.synchronized {
+    val snaps = tableDir(table).resolve("snapshots")
+    Files.createDirectories(snaps)
     // -1 sentinel seed: the disk max is read ONCE per call below (seeding
-    // with maxSnapshotId would scan the snapshots dir twice under the lock);
-    // the per-call re-read also covers another Icelite instance (tests,
-    // tooling) writing to the same root between our writes
+    // with maxSnapshotId would scan the snapshots dir twice under the lock)
     val c = idCounters.computeIfAbsent(table,
       _ => new java.util.concurrent.atomic.AtomicLong(-1L))
     val disk = maxSnapshotId(table)
     if (c.get() < disk) c.set(disk)
-    val id = c.incrementAndGet()
+    var id = c.incrementAndGet()
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(snaps.resolve(s"$id.claim")) // atomic CAS on the id
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id = c.incrementAndGet()
+      }
+    }
     pendingIds.add(s"$table/$id")
     id
+  }
+
+  private def releaseClaim(table: String, id: Long): Unit = {
+    Files.deleteIfExists(tableDir(table).resolve(s"snapshots/$id.claim")); ()
+  }
+
+  /** Ids currently claimed by an in-flight writer (any instance/process). */
+  private def claimedIds(table: String): Set[Long] = {
+    val snaps = tableDir(table).resolve("snapshots")
+    if (!Files.exists(snaps)) return Set.empty
+    val stream = Files.list(snaps)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".claim"))
+      .flatMap(n => n.stripSuffix(".claim").toLongOption)
+      .toSet
+    finally stream.close()
   }
 
   /** Tags are stored JSON-safe; probe and store MUST sanitize identically or
@@ -160,10 +203,12 @@ final class Icelite(rootDir: String) extends Serializable {
       }
       id
     } finally {
-      // pending cover ends only AFTER the pointer update: from here on the
-      // snapshot is either fully committed (vacuumable by the normal rules)
-      // or failed (its manifest never landed, so there is nothing to expire)
+      // pending/claim cover ends only AFTER the pointer update: from here on
+      // the snapshot is either fully committed (vacuumable by the normal
+      // rules) or failed (its manifest never landed, so its data dir is a
+      // sweepable orphan — exactly what releasing the claim allows)
       pendingIds.remove(s"$table/$id")
+      releaseClaim(table, id)
       persisted.unpersist()
     }
   }
@@ -220,17 +265,19 @@ final class Icelite(rootDir: String) extends Serializable {
       // orphan sweep: a crash between a previous vacuum's manifest delete and
       // its data delete leaves a data dir no manifest references — invisible
       // to the id enumeration above forever. Reclaim any snap-* data dir
-      // with no manifest (and not pending/current, which covers a data dir
-      // whose manifest commit is mid-flight).
+      // with no manifest and not pending/current/CLAIMED — the claim file
+      // covers writers in OTHER instances/processes whose manifest commit is
+      // mid-flight (the per-instance pendingIds set cannot see them).
       val dataRoot = tableDir(table).resolve("data")
       if (Files.exists(dataRoot)) {
+        val claimed = claimedIds(table)
         val ls = Files.list(dataRoot)
         val orphans = try ls.iterator().asScala
           .map(_.getFileName.toString)
           .filter(_.startsWith("snap-"))
           .flatMap(n => n.stripPrefix("snap-").toLongOption)
           .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
-            !current.contains(id))
+            !current.contains(id) && !claimed.contains(id))
           .toList
         finally ls.close()
         orphans.foreach(deleteDataDir)

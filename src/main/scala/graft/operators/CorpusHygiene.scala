@@ -46,9 +46,14 @@ object CorpusHygiene {
 
   /**
    * Run the hygiene chain over `documents(doc_id, lang, text, ...)`.
-   * Lazy — one DataFrame out; callers count stage effects themselves if
-   * they want a report (each count is a corpus job, so the engine does not
-   * force six of them on every run).
+   * One DataFrame out; callers count stage effects themselves if they want a
+   * report (each count is a corpus job, so the engine does not force six of
+   * them on every run). NOT fully lazy: with `nearDupThreshold` set, the
+   * minhash stage `localCheckpoint(true)`s its candidate set EAGERLY — full
+   * corpus Spark jobs run at construction time, and the checkpointed blocks
+   * are lineage-truncated (unrecoverable on executor loss; a failed executor
+   * fails the job, which reruns — the stage is deterministic, so a rerun is
+   * correctness-safe, just not incremental).
    *
    * @param benchmark optional (bench_id, text) eval items for the
    *   decontamination stage (skipped when absent)

@@ -244,6 +244,14 @@ object MultimodalOps {
   def encodePng(width: Int, height: Int, hasAlpha: Boolean,
                 rgba: (Int, Int) => (Int, Int, Int, Int)): Array[Byte] = {
     val bpp = if (hasAlpha) 4 else 3
+    // same contract as encodeGif: zero/negative dims must not silently emit a
+    // degenerate container, and the buffer size product must be bounded as a
+    // LONG before any Int allocation (height*(1+stride) overflows Int well
+    // before either dimension does, turning a mis-dial into
+    // NegativeArraySizeException instead of this family's IllegalArgument)
+    require(width > 0 && height > 0, s"PNG dimensions must be positive (${width}x$height)")
+    require(height.toLong * (1L + width.toLong * bpp) <= Int.MaxValue - 64,
+      s"PNG raw stream too large (${width}x$height, $bpp bytes/pixel)")
     val stride = width * bpp
     // raw scanline stream: 1 filter byte + filtered pixel bytes per row
     val raw = new Array[Byte](height * (1 + stride))

@@ -281,14 +281,26 @@ object SimilarityOps {
     * Codebook shape is validated here: centroid counts beyond 127 would wrap
     * the tinyint cast SILENTLY (ids 128.. become negative bytes, and the
     * +1-indexed reconstruction lookup would then index from the array END
-    * instead of erroring). The embedding dim must equal m·subDim. */
+    * instead of erroring). The embedding dim must equal m·subDim — enforced
+    * PER ROW (a longer embedding would silently encode only its first dims,
+    * and the reconstruction/cosine downstream would null out against the
+    * full-length query vector; a mis-dialed caller must fail loudly). */
   def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(b => b.nonEmpty && b.length <= 127),
       "each PQ codebook needs 1..127 centroids (codes are signed bytes)")
     val subDim = codebooks(0)(0).length
     require(codebooks.forall(_.forall(_.length == subDim)),
       "PQ codebooks must share one subvector dimension")
-    embeddings.select(col("vec_id"),
+    val m = codebooks.length
+    val dim = m * subDim
+    // dim check staged through its own projection so the raise_error branch
+    // exists ONCE in the plan, not inlined into each of the m slices
+    val checked = embeddings.select(col("vec_id"),
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(format_string(
+          s"pqEncode: embedding size %s != m*subDim = $dim",
+          size(col("embedding")).cast("string")))).as("embedding"))
+    checked.select(col("vec_id"),
       array(codebooks.indices.map { s =>
         element_at(graft.functions.CentroidIds(
           slice(col("embedding"), s * subDim + 1, subDim), codebooks(s), 1), 1)

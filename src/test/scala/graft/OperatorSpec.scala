@@ -317,6 +317,16 @@ class OperatorSpec extends AnyFunSuite {
       (x, y) => (x * 17 % 256, y * 29 % 256, (x ^ y) % 256, 0)))
     assert(rgbaImg.rgb.toSeq == rgbImg.rgb.toSeq)
 
+    // encode-side dimension contract mirrors encodeGif: zero/negative dims
+    // and Int-overflowing buffer products are IllegalArgument, not a
+    // degenerate container / NegativeArraySizeException
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.encodePng(0, 4, hasAlpha = false, (_, _) => (0, 0, 0, 0)))
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.encodePng(4, -1, hasAlpha = false, (_, _) => (0, 0, 0, 0)))
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.encodePng(1 << 20, 1 << 20, hasAlpha = true, (_, _) => (0, 0, 0, 0)))
+
     // hostile containers fail fast with a typed error:
     val ok = MultimodalOps.encodePng(4, 4, hasAlpha = false, (x, y) => (x, y, 0, 0))
     // (a) flip one IDAT byte → CRC mismatch

@@ -161,6 +161,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(ic.readSnapshot(spark, "t").collect().nonEmpty)
   }
 
+  test("icelite cross-instance claims: racing writer pair never collides; claims shield in-flight data from the vacuum") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = "target/icelite_claims_" + System.nanoTime()
+    // TWO independent instances on one root (the multi-writer shape the
+    // per-instance pendingIds set cannot cover), racing from 6 threads
+    val icA = new Icelite(root)
+    val icB = new Icelite(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val ids =
+      try {
+        val futs = (0 until 6).map { t =>
+          val ic = if (t % 2 == 0) icA else icB
+          pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+            def call(): Seq[Long] =
+              (0 until 2).map(i => ic.writeSnapshot(Seq((t, i)).toDF("t", "i"), "t", tag = s"w$t-$i"))
+          })
+        }
+        futs.flatMap(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    // no snapshot-id collision, no lost manifest, pointer at the max id
+    assert(ids.size == 12 && ids.distinct.size == 12, s"id collision: $ids")
+    ids.foreach { id =>
+      assert(Files.exists(Paths.get(root, "t", "snapshots", s"$id.json")), s"manifest $id lost")
+    }
+    assert(icA.currentSnapshotId("t").contains(ids.max))
+    // every tag resolves to a readable snapshot with its own row
+    (0 until 6).foreach { t =>
+      val sid = icA.findByTag("t", s"w$t-0")
+      assert(sid.isDefined, s"tag w$t-0 unresolvable")
+      assert(icB.readSnapshot(spark, "t", sid).collect().map(_.getInt(0)).toSeq == Seq(t))
+    }
+    // all claims were released by the committed writes
+    val claims = {
+      val s = Files.list(Paths.get(root, "t", "snapshots"))
+      try s.filter(_.toString.endsWith(".claim")).count() finally s.close()
+    }
+    assert(claims == 0, s"$claims claim files leaked past committed writes")
+
+    // claim shield: simulate ANOTHER PROCESS mid-write — data dir + claim
+    // present, manifest not yet landed. A vacuum from this process must not
+    // reclaim the data dir while the claim stands.
+    val inflight = Paths.get(root, "t", "data", "snap-500")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.createFile(Paths.get(root, "t", "snapshots", "500.claim"))
+    icA.expireSnapshots("t", keepLast = 100)
+    assert(Files.exists(inflight), "claimed in-flight data dir was vacuumed")
+    // the writer crashed (claim released, manifest never landed) → the data
+    // dir is a true orphan and the next sweep reclaims it
+    Files.delete(Paths.get(root, "t", "snapshots", "500.claim"))
+    icA.expireSnapshots("t", keepLast = 100)
+    assert(!Files.exists(inflight), "orphaned data dir not reclaimed after claim release")
+  }
+
   test("int8 quantization: bounded codes, extremes hit ±127, top-k recall vs full precision") {
     import graft.operators.SimilarityOps
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -201,6 +256,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(trained >= 0.18, s"trained-PQ recall $trained")
     assert(random >= 0.05, s"random-PQ recall $random")
     assert(trained > random, s"training must beat random codebooks ($trained vs $random)")
+
+    // a mis-dialed embedding dim (!= m·subDim) must fail LOUDLY per row, not
+    // silently encode a prefix whose reconstruction nulls out downstream
+    import spark.implicits._
+    val wrongDim = Seq((1L, Seq.fill(60)(0.5f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      SimilarityOps.pqEncode(wrongDim, SimilarityOps.pqCodebooks()).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains("pqEncode")), s"unexpected error: $err")
   }
 
   test("ANN LSH: beats random-scan baseline on isotropic data, near-exact on clustered data") {
