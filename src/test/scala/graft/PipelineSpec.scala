@@ -341,6 +341,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped2.centroids.map(_.toSeq).toSeq == capped.centroids.map(_.toSeq).toSeq)
   }
 
+  test("PQ ADC == reconstruction ranking; composed IVF+PQ+exact: all-dials exact, partial dials recall") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+    val books = SimilarityOps.pqCodebooks()
+    val codes = SimilarityOps.pqEncode(emb, books)
+    // ADC must reproduce the reconstruction path's ranking AND its rounded
+    // cosines (both paths round to 6 digits; the decomposed sums may differ
+    // below that only by summation order)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos", "rank").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    val recon = asMap(SimilarityOps.bruteForceTopKPq(codes, books, queries, k = 5))
+    val adc = asMap(SimilarityOps.adcTopKPq(codes, books, queries, k = 5))
+    assert(adc.keySet == recon.keySet, "ADC and reconstruction top-k sets differ")
+    adc.foreach { case (key, (cosA, rankA)) =>
+      val (cosR, rankR) = recon(key)
+      assert(rankA == rankR, s"rank drift at $key: $rankA vs $rankR")
+      assert(math.abs(cosA - cosR) <= 1e-9, s"cos drift at $key: $cosA vs $cosR")
+    }
+
+    // composed tier, exact dials (all lists + unbounded shortlist) ≡ brute
+    // force — the q_ann_ivf_pq oracle configuration, checked here in-process
+    val qRaw = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val index = SimilarityOps.trainIvf(emb, nLists = 8, seed = 7)
+    val exact = SimilarityOps.bruteForceTopK(emb, qRaw, k = 5)
+      .select("query_id", "vec_id", "cos", "rank").collect().map(_.toSeq).toSet
+    val composedAll = SimilarityOps.annTopKIvfPqExact(emb, qRaw, index, books,
+      k = 5, nprobe = 8, shortlist = Int.MaxValue)
+      .select("query_id", "vec_id", "cos", "rank").collect().map(_.toSeq).toSet
+    assert(composedAll == exact, "all-dials composition must equal brute force")
+
+    // partial dials on CLUSTERED data (the real-corpus shape): trained
+    // quantizers, 3/10 lists probed, shortlist 40 → high recall
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val cEmb = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => (v + 0.15 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cQueries = cEmb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cIndex = SimilarityOps.trainIvf(cEmb, nLists = 10, seed = 7)
+    val cBooks = SimilarityOps.trainPq(cEmb)
+    val cExact = SimilarityOps.bruteForceTopK(cEmb, cQueries, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cComposed = SimilarityOps.annTopKIvfPqExact(cEmb, cQueries, cIndex, cBooks,
+      k = 5, nprobe = 3, shortlist = 40)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (cExact & cComposed).size.toDouble / cExact.size
+    assert(recall >= 0.8, s"composed-tier recall $recall too low on clustered data")
+  }
+
   test("J3 at scale: join-path canonicalization == driver-map path on >1e5 merge edges") {
     import spark.implicits._
     // 120k xref edges: 30k components of 4 members each (E:4k .. E:4k+3,
