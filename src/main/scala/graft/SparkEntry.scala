@@ -527,6 +527,27 @@ object SparkEntry {
       survivors.select("doc_id")
     }),
 
+    // --- incremental NEAR-dup dedup: new batch vs the historical minhash
+    // SIGNATURE store (steady-state ingest; the near-dup twin of
+    // q_dedup_incremental). r=1 bands make candidate recall structural (see
+    // q_dedup_minhash), so the realized survivor set equals the exact
+    // component rule DuckDB recomputes: batch docs connected to history are
+    // dropped (hist ids < batch ids ⇒ min-reach < own id), min batch id
+    // survives history-free components, singletons survive.
+    "q_dedup_minhash_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val hist = d.filter(col("doc_id") < 250)
+      val store = DedupOps.bandedSignatures(hist, k = 16, bands = 16)
+      val batch = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .unionByName(d.filter(col("doc_id").between(100, 120))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id").between(250, 260))
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val (survivors, _) = DedupOps.incrementalMinhashDedup(batch, store, hist,
+        threshold = 0.5, k = 16, bands = 16)
+      survivors.select("doc_id")
+    }),
+
     // --- COMPOSED hygiene pipeline: exact dedup → decontaminate →
     // repetition filter → stratified sample → redact, end to end — the
     // oracle replays the whole chain in DuckDB, value-checking the
@@ -1122,6 +1143,44 @@ object SparkEntry {
         |keep AS (SELECT n, min(doc_id) AS doc_id FROM batch GROUP BY n)
         |SELECT k.doc_id FROM keep k
         |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.n = k.n)""".stripMargin,
+
+    // survivors = batch ids whose exact-Jaccard component (over hist∪batch)
+    // has no smaller-id member: hist ids (<250) sort below every batch id,
+    // so "min reachable < own id" covers BOTH the history-connected drop and
+    // the non-representative drop; singletons (no pair) survive. Same
+    // shingle/Jaccard CTEs as q_dedup_minhash, same reachability as
+    // q_dedup_groups.
+    "q_dedup_minhash_incremental" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |u AS (
+        |  SELECT doc_id, toks FROM d0
+        |  UNION ALL SELECT doc_id + 10000, toks FROM d0 WHERE doc_id BETWEEN 100 AND 120
+        |  UNION ALL SELECT doc_id + 20000, toks FROM d0 WHERE doc_id BETWEEN 250 AND 260),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        |  FROM u),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+        |    FROM s x JOIN s y ON x.doc_id < y.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |        UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.doc_id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |dropped AS (SELECT doc_id FROM reach GROUP BY doc_id HAVING min(r) < doc_id)
+        |SELECT doc_id FROM u
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     // the per-stage CTEs are the SAME SQL as q_dedup_exact / q_decontaminate
     // / q_repetition / q_sample_mix / q_redact_pii — composed in the engine's

@@ -100,13 +100,20 @@ object DedupOps {
    * (a, b) doc_id pairs with a < b. The self-join shuffles only
    * (doc_id, band_hash) — ~K/r * 16 bytes per doc, regardless of text size.
    */
-  def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  /**
+   * Banded minhash signatures: documents → (doc_id, band_idx, band_hash),
+   * `bands` narrow rows per doc. This IS the persistable signature-store
+   * schema ([[incrementalMinhashDedup]]): bands × 16 bytes per retained doc,
+   * written back as an icelite snapshot between ingest batches.
+   *
+   * Band hashes are computed DIRECTLY from the materialized shingle-hash
+   * attribute (`sh`) in one projection. Referencing a `sig` alias here
+   * would let CollapseProject inline the whole K-minhash expression into
+   * the per-band lambda → recomputed per band (measured 0.3s → 6.6s).
+   */
+  def bandedSignatures(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    // band hashes computed DIRECTLY from the materialized shingle-hash
-    // attribute (`sh`) in one projection. Referencing a `sig` alias here
-    // would let CollapseProject inline the whole K-minhash expression into
-    // the per-band lambda → recomputed per band (measured 0.3s → 6.6s).
-    val banded = documents
+    documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("shingle_arr"))
       .select(col("doc_id"), transform(col("shingle_arr"), s => xxhash64(s)).as("sh"))
@@ -118,8 +125,10 @@ object DedupOps {
         }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    bucketPairs(banded, "band_idx", "band_hash")
   }
+
+  def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    bucketPairs(bandedSignatures(documents, k, bands), "band_idx", "band_hash")
 
   /** Mega-bucket guard bound: a bucket larger than this means the signature
     * is degenerate (n² pair explosion), so it is dropped — LOUDLY, via the
@@ -480,6 +489,84 @@ object DedupOps {
     val groups = nearDupGroups(minhashNearDuplicates(documents, threshold, k, bands))
     val dropped = groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id")
     documents.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
+  // incremental NEAR-dup dedup (batch vs historical signature store)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Incremental minhash dedup of a new batch against a HISTORICAL signature
+   * STORE — the steady-state ingest shape (full-corpus re-dedup per batch
+   * would re-shingle and re-shuffle 100 TB for every daily increment). The
+   * exact-dedup twin is `TextOps.incrementalExactDedup`.
+   *
+   * State carried between batches: `store(doc_id, band_idx, band_hash)` =
+   * [[bandedSignatures]] of every RETAINED doc — bands × ~16 bytes/doc,
+   * written back as an icelite snapshot. Candidates come from band-bucket
+   * equality: intra-batch via the guarded [[bucketPairs]], batch×history via
+   * one equi-join of the batch's bands against the store (narrow keys; at
+   * scale the store is bucketed by band_hash so only the batch side
+   * shuffles — the history's signatures are never re-computed and its TEXT
+   * is never re-shingled wholesale: `history(doc_id, text)` is consulted
+   * only for the candidate ids, a near-dup-sized semi-join → point lookups
+   * on a doc_id-bucketed corpus table).
+   *
+   * Survivor rule (≡ full-corpus [[minhashSurvivors]] over history ∪ batch
+   * whenever historical doc_ids precede batch doc_ids — asserted by the
+   * OperatorSpec equivalence test):
+   *  - a batch doc connected (via verified pairs over batch ∪ history) to
+   *    any historical doc is dropped — the retained historical copy is the
+   *    representative;
+   *  - in history-free components the min batch doc_id survives;
+   *  - batch docs in no verified pair survive untouched.
+   * Verification is the exact shingle-Jaccard predicate on candidate docs
+   * only — the same similarity space as the signatures.
+   *
+   * @return (survivors, updatedStore) — updatedStore = store ∪ survivors'
+   *   band signatures (reuses the already-computed batch bands; nothing
+   *   historical is recomputed)
+   */
+  def incrementalMinhashDedup(batch: DataFrame, store: DataFrame,
+                              history: DataFrame, threshold: Double = 0.8,
+                              k: Int = 16, bands: Int = 4): (DataFrame, DataFrame) = {
+    // batch bands feed THREE consumers (intra pairing, cross join, store
+    // update) — pin the narrow rows once (same rule as minhashNearDuplicates)
+    val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(true)
+    val intra = bucketPairs(batchBands, "band_idx", "band_hash")
+    val cross = batchBands
+      .join(store.withColumnRenamed("doc_id", "hist_id"), Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("a"), col("hist_id").as("b")).distinct()
+      .localCheckpoint(true) // candidate ids + verify both read it
+    // verify candidates with the exact shingle-Jaccard predicate; ONLY
+    // candidate docs' text is (re-)shingled, semi-joined by id first
+    val batchIds = intra.select(col("a").as("doc_id"))
+      .unionByName(intra.select(col("b").as("doc_id")))
+      .unionByName(cross.select(col("a").as("doc_id"))).distinct()
+    val histIds = cross.select(col("b").as("doc_id")).distinct()
+    val shBatch = shingleArray(batch.join(batchIds, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    val shHist = shingleArray(history.join(histIds, Seq("doc_id"), "left_semi"))
+    def verified(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
+      pairs
+        .join(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .filter(shingleJaccardFromArrays(col("sh_a"), col("sh_b")) >= threshold)
+        .select("a", "b")
+    val allPairs = verified(intra, shBatch, shBatch)
+      .unionByName(verified(cross, shBatch, shHist))
+    // components over batch ∪ matched-history nodes (pair-list-sized)
+    val groups = nearDupGroups(allPairs)
+    val histComponents = groups.join(histIds, Seq("doc_id"), "left_semi")
+      .select("keep_id").distinct()
+    val dropped = groups.join(histComponents, Seq("keep_id"), "left_semi")
+      .select("doc_id") // every member of a history-touching component
+      .unionByName(groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
+      .distinct()
+    val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
+    val updated = store.select("doc_id", "band_idx", "band_hash")
+      .unionByName(batchBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+    (survivors, updated)
   }
 
   // -------------------------------------------------------------------------

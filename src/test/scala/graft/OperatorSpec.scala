@@ -202,6 +202,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("posexplode"), "banding recomputed in final plan")
   }
 
+  test("incremental minhash dedup == full-corpus survivors; store update == recomputed signatures") {
+    // 400 base docs + 40 mutation twins (twin ids >= 10M, twins of HIST
+    // bases 0..39): hist = bases < 200, batch = bases 200..399 + all twins.
+    // Historical ids precede batch ids, so the incremental survivor rule
+    // must coincide exactly with full-corpus minhashSurvivors ∩ batch.
+    val all = graft.tools.SketchDialsProbe.syntheticDocs(spark, 400, 40)
+      .localCheckpoint(true)
+    val hist = all.filter(col("doc_id") < 200)
+    val batch = all.filter(col("doc_id") >= 200)
+    val store = DedupOps.bandedSignatures(hist, k = 16, bands = 16)
+    val (survivors, updated) = DedupOps.incrementalMinhashDedup(
+      batch, store, hist, threshold = 0.7, k = 16, bands = 16)
+    val inc = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = DedupOps.minhashSurvivors(all, threshold = 0.7, k = 16, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == (full & batchIds),
+      s"incremental != full-corpus: only-inc=${(inc -- full).take(5)} only-full=${((full & batchIds) -- inc).take(5)}")
+    // planted structure at the UNAMBIGUOUS rates (0.05/0.10 twins sit near
+    // the 0.7 threshold and legitimately straddle it per instance): rate-0.02
+    // twins of HIST docs (J ≈ 0.89) are recrawls the store must drop;
+    // rate-0.20 twins (J ≈ 0.34) are far below threshold and survive
+    val off = graft.tools.SketchDialsProbe.DupOffset
+    (0L until 40L).foreach { i =>
+      if (i % 4 == 0) assert(!inc(i + off), s"rate-0.02 recrawl twin $i survived")
+      if (i % 4 == 3) assert(inc(i + off), s"rate-0.20 distinct twin $i dropped")
+    }
+    // store update = old store ∪ survivor signatures, NOTHING recomputed —
+    // must equal a from-scratch signature build over hist ∪ survivors
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sigSet(updated) ==
+      sigSet(DedupOps.bandedSignatures(hist.unionByName(survivors), k = 16, bands = 16)))
+  }
+
   test("simhash: identical texts distance 0; near texts within small Hamming") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
