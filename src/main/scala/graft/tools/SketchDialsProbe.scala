@@ -221,6 +221,40 @@ object SketchDialsProbe {
       f""""planes$planes":{"candidates":$nCand,"recall_at_0.95":$recall%.4f,"sec":$sec%.1f}"""
     }
 
+    // ---- composed IVF→PQ→exact ANN tier at 50k vectors: recall@10 vs the
+    // (nprobe, shortlist) dials against exact brute-force ground truth on
+    // 100 queries. Isotropic vectors are the worst case for ANY coarse
+    // quantizer (no cluster structure to prune by) — these numbers are the
+    // dial's FLOOR; clustered-corpus recall is pinned ≥0.8 in PipelineSpec.
+    import graft.operators.SimilarityOps
+    val tierQueries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .localCheckpoint(true)
+    val truth = SimilarityOps.bruteForceTopK(emb, tierQueries, k = 10)
+      .select("query_id", "vec_id").localCheckpoint(true)
+    val nTruth = truth.count()
+    val ivfIndex = SimilarityOps.trainIvf(emb, nLists = 64)
+    val pq4x8 = SimilarityOps.trainPq(emb)
+    // the CODEBOOK dial: on structure-less data the ADC shortlist, not the
+    // probe count, bounds recall — m8×k16 (8 bytes/vector vs 4) measures how
+    // much finer quantization buys back
+    val pq8x16 = SimilarityOps.trainPq(emb, m = 8, k = 16)
+    val tierResults = Seq(
+      ("pq4x8", pq4x8, 4, 200), ("pq4x8", pq4x8, 8, 200),
+      ("pq4x8", pq4x8, 16, 200), ("pq4x8", pq4x8, 8, 50),
+      ("pq8x16", pq8x16, 8, 200), ("pq8x16", pq8x16, 8, 50)).map {
+      case (tag, books, nprobe, shortlist) =>
+        val t0 = System.nanoTime()
+        val got = SimilarityOps.annTopKIvfPqExact(emb, tierQueries, ivfIndex, books,
+          k = 10, nprobe = nprobe, shortlist = shortlist)
+          .select("query_id", "vec_id").localCheckpoint(true)
+        got.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hit = truth.join(got, Seq("query_id", "vec_id"), "left_semi").count()
+        f""""${tag}_np${nprobe}_sl$shortlist":{"recall_at_10":${hit.toDouble / nTruth}%.4f,""" +
+          f""""scan_frac":${nprobe / 64.0}%.3f,"sec":$sec%.1f}"""
+    }
+
     val (droppedBuckets, droppedMembers) = DedupOps.bucketGuardCounts(spark)
     val json =
       s"""{"probe":"sketch-dials","n_base_docs":$nBase,"n_planted":$nDup,""" +
@@ -230,6 +264,7 @@ object SketchDialsProbe {
         f""""simhash":{"maxHamming":$maxH,"pairs":$nSimPairs,"n_exact_positives":$nSimPos,"planted_recall":$simRecall%.4f,"sec":$simSec%.1f},""" +
         f""""winnowing":{"pairs":$nWinPairs,"n_exact_positives":$nWinPos,"planted_recall":$winRecall%.4f,"sec":$winSec%.1f},""" +
         s""""n_vec_positives":$nVPos,"embedding":{${embResults.mkString(",")}},""" +
+        s""""ann_tier":{${tierResults.mkString(",")}},""" +
         s""""dropped_buckets":$droppedBuckets,"dropped_members":$droppedMembers}"""
     println(json)
     spark.stop()
