@@ -448,6 +448,16 @@ object SimilarityOps {
     val indexRows = withPqCodes(embeddings, codebooks)
       .withColumn("list_id", ivfListId(col("embedding"), index))
       .select("vec_id", "list_id", "codes")
+    composedTier(indexRows, embeddings.select(col("vec_id"), col("embedding")),
+      queries, index, codebooks, k, nprobe, shortlist)
+  }
+
+  /** Shared ADC-shortlist → exact-re-rank tail of the composed tier. */
+  private def composedTier(indexRows: DataFrame, vectors: DataFrame,
+                           queries: DataFrame, index: IvfIndex,
+                           codebooks: Array[Array[Array[Double]]], k: Int,
+                           nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
     // query side: ADC LUTs + exploded nprobe probes, broadcast once
     val qs = adcQueries(queries, codebooks)
       .join(queries.select(col("query_id"),
@@ -464,9 +474,38 @@ object SimilarityOps {
       .select("query_id", "vec_id")
     // exact re-rank of the shortlist only: vectors ride no exchange — the
     // corpus scan is filtered by the broadcast shortlist id set
-    val fetched = embeddings.select(col("vec_id"), col("embedding"))
+    val fetched = vectors
       .join(broadcast(short), "vec_id")
       .join(broadcast(queries), "query_id")
     rerank(fetched, k)
+  }
+
+  /** Composed-tier STORAGE path: corpus written ONCE partitioned by IVF list
+    * with the PQ codes AND the full vector in-file. Columnar projection makes
+    * both tier reads cheap: ADC touches only the (vec_id, codes) columns of
+    * probed partitions; the exact re-rank re-reads only (vec_id, embedding)
+    * of the broadcast-small shortlist id set. */
+  def writeIvfPq(embeddings: DataFrame, index: IvfIndex,
+                 codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    withPqCodes(embeddings, codebooks)
+      .withColumn("list_id", ivfListId(col("embedding"), index))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
+    * become STATIC partition filters (queries broadcast-small by contract),
+    * so the ADC scan touches ~nprobe/nLists of the corpus — the twin of
+    * [[annTopKIvfStored]] with the PQ shortlist in between. */
+  def annTopKIvfPqStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, index: IvfIndex,
+                         codebooks: Array[Array[Array[Double]]], k: Int = 5,
+                         nprobe: Int = 4, shortlist: Int = 64): DataFrame = {
+    val probeQs = queries.select(
+      explode(graft.functions.CentroidIds(
+        col("qvec").cast("array<double>"), index.centroids, nprobe)).as("list_id"))
+    val probeLists = probeQs.distinct().collect().map(_.getInt(0))
+    val stored = spark.read.parquet(path).filter(col("list_id").isin(probeLists: _*))
+    composedTier(stored.select("vec_id", "list_id", "codes"),
+      stored.select("vec_id", "embedding"), queries, index, codebooks,
+      k, nprobe, shortlist)
   }
 }

@@ -714,6 +714,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(planTxt.contains("PartitionFilters: [list_id"), planTxt.take(2000))
   }
 
+  test("composed IVF+PQ storage: partition-pruned ADC scan, same results as in-memory path") {
+    import graft.operators.SimilarityOps
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val index = SimilarityOps.trainIvf(emb, nLists = 8)
+    val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
+    val path = "target/fixtures/ann_ivfpq_stored"
+    SimilarityOps.writeIvfPq(emb, index, books, path)
+    val got = SimilarityOps.annTopKIvfPqStored(spark, path, queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+    val want = SimilarityOps.annTopKIvfPqExact(emb, queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(got) == key(want))
+    // the ADC scan must prune at the partition level, not post-filter
+    val planTxt = got.queryExecution.executedPlan.toString
+    assert(planTxt.contains("PartitionFilters: [list_id"), planTxt.take(2000))
+  }
+
   test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
     // q_pipeline_triples' oracle emits ALL distinct (normalized term, curie)
     // rows while the engine grounds top-1 per pattern; the two agree only
