@@ -36,10 +36,25 @@ object Demo {
     val nd = graft.operators.DedupOps.minhashNearDuplicates(docs, threshold = 0.8).count()
     val (gb, gm) = graft.operators.DedupOps.bucketGuardCounts(spark)
     println(s"DEDUP near_dup_pairs=$nd dropped_buckets=$gb dropped_members=$gm")
+    // incremental-ingest smoke (the steady-state corpus shape): day-1 docs
+    // seed the minhash signature STORE as an icelite snapshot — the only
+    // state carried between batches — then the day-2 batch dedups against
+    // the read-back store and writes the updated store as the next snapshot
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val storeId = ic.writeSnapshot(
+      graft.operators.DedupOps.bandedSignatures(day1), "minhash_store", tag = "day1")
+    val (surv, updatedStore) = graft.operators.DedupOps.incrementalMinhashDedup(
+      day2, ic.readSnapshot(spark, "minhash_store", Some(storeId)), day1, threshold = 0.8)
+    val storeId2 = ic.writeSnapshot(updatedStore, "minhash_store", tag = "day1+day2")
+    println(s"INCREMENTAL batch=${day2.count()} survivors=${surv.count()} " +
+      s"store_rows=${ic.readSnapshot(spark, "minhash_store", Some(storeId2)).count()} " +
+      s"store_snapshots=$storeId->$storeId2")
     // retention vacuum: repeated Demo runs accumulate one kg_edges/kg_nodes
     // snapshot each — expire all but the last two, keeping the mentions
     // snapshot's resume tag intact (re-runs must still reuse the stage)
-    val expired = Seq("kg_edges", "kg_nodes").map(t => t -> ic.expireSnapshots(t, keepLast = 2))
+    val expired = Seq("kg_edges", "kg_nodes", "minhash_store")
+      .map(t => t -> ic.expireSnapshots(t, keepLast = 2))
     // mentions_top IS vacuumed too, protected only by its keepTags entry —
     // so the mentions_reusable flag genuinely exercises the tag-preservation
     // contract (keepLast=1 alone would also keep it today; the tag is the
