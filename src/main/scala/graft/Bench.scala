@@ -269,17 +269,27 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_stats":$qStats,"query_errors":$nErrs,"sf":"$sfDir","scaling":${scaling(longProtocol)}}"""
-    // hard bound, asserted BEFORE printing: a future field creeping past the
-    // driver's tail window must fail the run loudly, not silently un-parse
-    require(json.length <= 2048,
-      s"bench stdout contract line is ${json.length} bytes (> 2048): move new " +
-        "fields to target/bench.json, the stdout line must stay parseable")
-    // belt and braces: the driver parses stdout, but sbt log decoration has
-    // eaten the line before (round-1 parsed:null) — also persist to a
-    // well-known file so the signal always lands.
+    // belt and braces FIRST: the driver parses stdout, but sbt log decoration
+    // has eaten the line before (round-1 parsed:null) — persist the full
+    // detail to a well-known file BEFORE the size handling below, so the
+    // signal always lands even when the stdout line must degrade.
     val benchFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(benchFile.getParent)
     java.nio.file.Files.write(benchFile, fullJson.getBytes("UTF-8"))
-    println(json)
+    // hard bound on the stdout contract line (round-4's 4.2 KB line fell out
+    // of the driver's tail window). Normally ~1.7 KB, but per-query err
+    // payloads (a jsonSafe'd exception each) can push past it — DEGRADE to a
+    // minimal line (totals + scaling, no per-query map) instead of throwing:
+    // a throw after all measurement work would destroy the entire bench
+    // signal, the exact failure this bound exists to prevent.
+    val out =
+      if (json.length <= 2048) json
+      else {
+        System.err.println(s"bench stdout line ${json.length} B > 2048 - " +
+          "emitting minimal line; full detail in target/bench.json")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},""" +
+          s""""query_errors":$nErrs,"sf":"$sfDir","scaling":${scaling(shortProtocol)}}"""
+      }
+    println(out)
   }
 }

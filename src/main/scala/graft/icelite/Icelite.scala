@@ -33,16 +33,16 @@ import org.apache.spark.sql.functions._
  * another instance's [[expireSnapshots]] orphan sweep, and is removed once
  * the write commits (or fails — a failed write's unreferenced data dir
  * becomes sweepable). The `current` pointer only ever advances, but the
- * pointer update itself is last-writer-wins per process (the id claim makes
- * ids unique; two processes racing the pointer still both land ≥ their own
- * id, and a stale smaller value is impossible because each process checks
- * `current < id` under its own lock — cross-process the check-then-write is
- * not atomic, so with multi-PROCESS writers `current` may transiently lag
- * the true max by one write; manifests remain the source of truth and
- * [[maxSnapshotId]] prefers them). Crash hygiene: a writer that dies
- * mid-write leaves its `.claim` behind, which permanently shields that one
- * id's data dir from the orphan sweep — deleting stale `.claim` files (no
- * matching manifest, old mtime) is an operator action by design.
+ * pointer's check-then-advance runs under a PROCESS-WIDE lock
+ * ([[Icelite.pointerLock]] — a per-instance lock would let two instances on
+ * one root roll the pointer back), so within one JVM `current` only ever
+ * advances; across PROCESSES the check-then-write is not atomic and
+ * `current` may transiently lag the true max by one write — manifests
+ * remain the source of truth and [[maxSnapshotId]] prefers them. Crash
+ * hygiene: a writer that dies mid-write leaves its `.claim` behind, which
+ * permanently shields that one id's data dir from the orphan sweep —
+ * deleting stale `.claim` files (no matching manifest, old mtime) is an
+ * operator action by design.
  */
 final class Icelite(rootDir: String) extends Serializable {
 
@@ -195,8 +195,11 @@ final class Icelite(rootDir: String) extends Serializable {
       Files.move(mfTmp, dir.resolve(s"snapshots/$id.json"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       // the pointer only ADVANCES: with concurrent writers, a slower write
-      // of an older id must not roll `current` back past a committed newer one
-      this.synchronized {
+      // of an older id must not roll `current` back past a committed newer
+      // one. The check-then-write must serialize across INSTANCES too (two
+      // Icelite objects on one root race exactly like two threads), so the
+      // lock is process-wide, not per-instance.
+      Icelite.pointerLock.synchronized {
         if (currentSnapshotId(table).forall(_ < id))
           Files.write(dir.resolve("current"), id.toString.getBytes("UTF-8"),
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -243,11 +246,15 @@ final class Icelite(rootDir: String) extends Serializable {
         .toSeq.sorted
       finally stream.close()
       val keepByTag = keepTags.flatMap(t => findByTag(table, t)).toSet
-      // never vacuum an id whose writeSnapshot is still in flight (manifest
-      // may be committed but the id not yet returned to its caller)
+      // never vacuum an id whose writeSnapshot is still in flight: in THIS
+      // instance via pendingIds, in any OTHER instance/process via its held
+      // claim (a manifest can be committed while the id has not yet been
+      // returned to its caller — expiring it would hand that caller a
+      // freshly-deleted snapshot id)
       val pending = ids.filter(id => pendingIds.contains(s"$table/$id")).toSet
       val current = currentSnapshotId(table) // one pointer read for keep + orphan sweep
-      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ current ++ pending
+      val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ current ++ pending ++
+        claimedIds(table)
       val expired = ids.filterNot(keep)
       def deleteDataDir(id: Long): Unit = {
         val dataDir = tableDir(table).resolve(s"data/snap-$id")
@@ -265,22 +272,30 @@ final class Icelite(rootDir: String) extends Serializable {
       // orphan sweep: a crash between a previous vacuum's manifest delete and
       // its data delete leaves a data dir no manifest references — invisible
       // to the id enumeration above forever. Reclaim any snap-* data dir
-      // with no manifest and not pending/current/CLAIMED — the claim file
-      // covers writers in OTHER instances/processes whose manifest commit is
-      // mid-flight (the per-instance pendingIds set cannot see them).
+      // with no manifest and not pending/current/CLAIMED. The claim check is
+      // re-done PER ORPHAN immediately before its delete: the candidate list
+      // was built from reads that can be stale against a concurrent writer
+      // (data dirs appear after claims, manifests land before claim release),
+      // and at re-check time "no claim AND no manifest" can only mean a
+      // crashed writer — an in-flight one still holds its claim (taken before
+      // the data dir existed) and a finished one's manifest landed before its
+      // claim release.
       val dataRoot = tableDir(table).resolve("data")
       if (Files.exists(dataRoot)) {
-        val claimed = claimedIds(table)
         val ls = Files.list(dataRoot)
-        val orphans = try ls.iterator().asScala
+        val candidates = try ls.iterator().asScala
           .map(_.getFileName.toString)
           .filter(_.startsWith("snap-"))
           .flatMap(n => n.stripPrefix("snap-").toLongOption)
           .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
-            !current.contains(id) && !claimed.contains(id))
+            !current.contains(id))
           .toList
         finally ls.close()
-        orphans.foreach(deleteDataDir)
+        candidates.foreach { id =>
+          val stillUnowned = !Files.exists(snaps.resolve(s"$id.claim")) &&
+            !Files.exists(snaps.resolve(s"$id.json"))
+          if (stillUnowned) deleteDataDir(id)
+        }
       }
       expired
     }
@@ -307,4 +322,11 @@ final class Icelite(rootDir: String) extends Serializable {
 
   def manifestJson(table: String, id: Long): String =
     new String(Files.readAllBytes(tableDir(table).resolve(s"snapshots/$id.json")), "UTF-8")
+}
+
+object Icelite {
+  /** Process-wide lock for the `current` pointer's check-then-advance: two
+    * Icelite INSTANCES on one root race exactly like two threads of one
+    * instance, so a per-instance lock cannot keep the pointer monotonic. */
+  private[icelite] val pointerLock = new Object
 }

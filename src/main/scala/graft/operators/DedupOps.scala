@@ -95,12 +95,6 @@ object DedupOps {
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
 
   /**
-   * LSH candidate pairs: split the K-length signature into `bands` bands,
-   * hash each band, self-join on (band_idx, band_hash). Returns distinct
-   * (a, b) doc_id pairs with a < b. The self-join shuffles only
-   * (doc_id, band_hash) — ~K/r * 16 bytes per doc, regardless of text size.
-   */
-  /**
    * Banded minhash signatures: documents → (doc_id, band_idx, band_hash),
    * `bands` narrow rows per doc. This IS the persistable signature-store
    * schema ([[incrementalMinhashDedup]]): bands × 16 bytes per retained doc,
@@ -127,6 +121,12 @@ object DedupOps {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /**
+   * LSH candidate pairs: band-bucket grouping over [[bandedSignatures]].
+   * Returns distinct (a, b) doc_id pairs with a < b; only
+   * (doc_id, band_hash) rows — ~bands × 16 bytes per doc, regardless of
+   * text size — ever reach the grouping shuffle.
+   */
   def minhashCandidates(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
     bucketPairs(bandedSignatures(documents, k, bands), "band_idx", "band_hash")
 

@@ -59,10 +59,15 @@ object HygieneProbe {
       .select(col("doc_id").as("bench_id"),
         concat_ws(" ", slice(split(DedupOps.normText(col("text")), " "), 1, 12)).as("text"))
       .localCheckpoint(true) // consumed by victims, the stage, and clean()
-    val contamVictims = bench.filter(col("bench_id") < 1000)
+    // bench ids are the multiples of 41, so < 41*1000 selects 1000 items —
+    // the planted count is COUNTED below anyway (the recall denominator must
+    // never be a hardcoded guess of a filter's selectivity)
+    val contamVictims = bench.filter(col("bench_id") < 41L * 1000)
       .select((col("bench_id") + ContamOffset).as("doc_id"),
         concat(col("text"), lit(" "), concat_ws(" ",
           (0 until 30).map(j => concat(lit(s"pad${j}x"), col("bench_id"))): _*)).as("text"))
+      .localCheckpoint(true)
+    val nContam = contamVictims.count()
     val repVictims = spark.range(1000)
       .select((col("id") + RepOffset).as("doc_id"),
         concat_ws(" ", array_repeat(concat(lit("rep"), col("id")), 150)).as("text"))
@@ -123,7 +128,7 @@ object HygieneProbe {
     val repLeft = survivors(s4, ids(repVictims))
     val exactRecall = 1.0 - exactLeft.toDouble / 2000
     val nearRecall = if (nNearExpected == 0) 1.0 else 1.0 - nearLeft.toDouble / nNearExpected
-    val contamRecall = 1.0 - contamLeft.toDouble / 1000
+    val contamRecall = if (nContam == 0) 1.0 else 1.0 - contamLeft.toDouble / nContam
     val repRecall = 1.0 - repLeft.toDouble / 1000
     // redaction: NO surviving doc carries a raw email; surviving plants carry the tag
     val rawEmails = s6.filter(col("text").rlike(TextOps.EmailRe)).count()
@@ -151,9 +156,10 @@ object HygieneProbe {
       s"""{"probe":"hygiene-composition","n_docs":$n0,"threshold":$threshold,""" +
         s""""stage_survivors":{"exact":$n1,"near_dup":$n2,"decontaminate":$n3,""" +
         s""""repetition":$n4,"sample":$n5,"redact":$n6},""" +
-        f""""planted_recall":{"exact":$exactRecall%.4f,""" +
+        f""""planted_recall":{"exact":$exactRecall%.4f,"n_exact_planted":2000,""" +
         f""""near_dup_at_$threshold":$nearRecall%.4f,"n_near_expected":$nNearExpected,""" +
-        f""""decontaminate":$contamRecall%.4f,"repetition":$repRecall%.4f},""" +
+        f""""decontaminate":$contamRecall%.4f,"n_contam_planted":$nContam,""" +
+        f""""repetition":$repRecall%.4f,"n_rep_planted":1000},""" +
         s""""raw_emails_after_redact":$rawEmails,""" +
         s""""pii_plants_survived":$piiSurvived,"pii_plants_tagged":$piiTagged,""" +
         f""""stepwise_sec":$stepSec%.1f,""" +
