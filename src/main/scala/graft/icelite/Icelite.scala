@@ -198,11 +198,19 @@ final class Icelite(rootDir: String) extends Serializable {
       // of an older id must not roll `current` back past a committed newer
       // one. The check-then-write must serialize across INSTANCES too (two
       // Icelite objects on one root race exactly like two threads), so the
-      // lock is process-wide, not per-instance.
+      // lock is process-wide, not per-instance. The pointer lands via temp
+      // + ATOMIC_MOVE: an in-place TRUNCATE_EXISTING write lets a concurrent
+      // reader observe an EMPTY pointer file mid-rewrite ("".toLong —
+      // surfaced by the racing-writer-pair test); rename is all-or-nothing.
       Icelite.pointerLock.synchronized {
-        if (currentSnapshotId(table).forall(_ < id))
-          Files.write(dir.resolve("current"), id.toString.getBytes("UTF-8"),
+        if (currentSnapshotId(table).forall(_ < id)) {
+          val tmp = dir.resolve(s"current.tmp-$id")
+          Files.write(tmp, id.toString.getBytes("UTF-8"),
             StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, dir.resolve("current"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
       id
     } finally {

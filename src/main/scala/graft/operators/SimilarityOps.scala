@@ -238,6 +238,39 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Scale-folded int8 top-k — the production scorer for the quantized path:
+   * the per-vector scale CANCELS out of the cosine
+   * (`cos(q8·s/127, q) = Σ q8ᵢqᵢ / (|q8|·|q|)`), so per (row × query) pair
+   * the kernel is one integer-valued dot product — no dequantization, no
+   * per-pair multiply by scale — and the corpus-side norm |q8| is staged
+   * ONCE per row before the cross join (the same stage-before-join rule as
+   * [[adcTopKPq]]'s norm table). Mathematically identical ranking to
+   * [[bruteForceTopKQuantized]]; floating-point summation order differs, so
+   * rounded cosines may drift in the last digit — the equivalence test
+   * bounds it.
+   */
+  def bruteForceTopKQuantizedFolded(quantized: DataFrame, queries: DataFrame,
+                                    k: Int = 5): DataFrame = {
+    // zero vectors: scale 0 ⇒ |q8| = 0 ⇒ cos NaN — the same NaN the
+    // dequantized path produces for them (cosine against a zero vector)
+    val corpus = quantized
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("q8"))
+      .withColumn("n8",
+        sqrt(aggregate(transform(col("q8"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+    val qs = queries
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qv"))
+      .withColumn("qnorm",
+        sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0d), (acc, x) => acc + x)))
+    val dot = aggregate(zip_with(col("q8"), col("qv"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val scored = corpus.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        round(dot / (col("n8") * col("qnorm")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------------
   // Product quantization (PQ): codebook compression — m sub-spaces, k
   // centroids each, one byte code per sub-space (m bytes per vector vs

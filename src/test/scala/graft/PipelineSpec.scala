@@ -233,6 +233,22 @@ class PipelineSpec extends AnyFunSuite {
     val row = SimilarityOps.quantizeInt8(emb).select("qvec").head.getSeq[Byte](0)
     assert(row.forall(b => b >= -127 && b <= 127))
     assert(row.exists(b => b == 127 || b == -127))
+
+    // scale-folded scorer (production path: no per-pair dequantize) must
+    // reproduce the dequantized path's ranking; cosines agree to fp drift
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos", "rank").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    val deq = asMap(SimilarityOps.bruteForceTopKQuantized(
+      SimilarityOps.quantizeInt8(emb), queries, k = 5))
+    val folded = asMap(SimilarityOps.bruteForceTopKQuantizedFolded(
+      SimilarityOps.quantizeInt8(emb), queries, k = 5))
+    assert(folded.keySet == deq.keySet, "folded and dequantized top-k sets differ")
+    folded.foreach { case (key, (cosF, rankF)) =>
+      val (cosD, rankD) = deq(key)
+      assert(rankF == rankD, s"rank drift at $key")
+      assert(math.abs(cosF - cosD) <= 2e-6, s"cos drift at $key: $cosF vs $cosD")
+    }
   }
 
   test("PQ: 4-byte codes; trained codebooks beat random, both far above the scan baseline") {

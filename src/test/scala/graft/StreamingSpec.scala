@@ -151,6 +151,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupCheck == 0, "incremental restart reprocessed old files")
   }
 
+  test("streaming ingest dedup: cross-batch near-dups dropped via the icelite store; restart incremental") {
+    import graft.streaming.StreamingDedup
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ic = new graft.icelite.Icelite(s"$base/ic")
+    val docs = graft.tools.SketchDialsProbe.syntheticDocs(spark, 120, 0).localCheckpoint(true)
+    val textOf = docs.filter(col("doc_id").isin(1L, 5L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // wave 1: docs 0..49 + one intra-batch exact duplicate (new id, doc 1's text)
+    import spark.implicits._
+    docs.filter(col("doc_id") < 50)
+      .unionByName(Seq((500L, textOf(1L))).toDF("doc_id", "text"))
+      .write.mode("append").parquet(in)
+    val b1 = StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    assert(b1 >= 1)
+    val after1 = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after1 == (0L until 50L).toSet, s"wave-1 survivors wrong: ${after1.size}")
+    val storeAfter1 = ic.readSnapshot(spark, StreamingDedup.StoreTable).count()
+    assert(storeAfter1 == 50L * 4, "store must carry bands rows per survivor")
+
+    // no new files: nothing reprocessed, store untouched
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    assert(spark.read.parquet(out).count() == 50)
+
+    // wave 2: 20 re-crawls of wave-1 docs (new ids, same text), 20 genuinely
+    // new docs, and one NEAR-duplicate of doc 5 (two tokens mutated)
+    val nearDup = textOf(5L).split(" ").zipWithIndex
+      .map { case (t, i) => if (i == 0 || i == 1) s"mut$i" else t }.mkString(" ")
+    docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id").between(100, 119)))
+      .unionByName(Seq((1200L, nearDup)).toDF("doc_id", "text"))
+      .write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    val after2 = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-crawls and the near-dup are gone; the 20 new docs survive
+    assert(after2 == (0L until 50L).toSet ++ (100L to 119L).toSet,
+      s"wave-2 survivors wrong: ${(after2 -- (0L until 50L) -- (100L to 119L)).take(5)}")
+    assert(ic.readSnapshot(spark, StreamingDedup.StoreTable).count() == 70L * 4)
+    // every retained text is unique (the whole point of the stage)
+    val texts = spark.read.parquet(out)
+      .groupBy(graft.operators.DedupOps.normText(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(texts == 0, "duplicate texts survived streaming ingest dedup")
+  }
+
   test("incremental sink is idempotent under batch REPLAY (at-least-once foreachBatch)") {
     import org.apache.spark.sql.functions.lit
     val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
