@@ -427,6 +427,19 @@ object SparkEntry {
         .select("query_id", "vec_id", "cos", "rank")
     }),
 
+    // --- int8 SCALE-FOLDED scorer (the production path: the per-vector
+    // scale cancels out of the cosine, so no per-pair dequantize). The
+    // oracle scores the raw quantized vectors directly — cos(q8, q) ≡
+    // cos(q8·s/127, q) — recomputing the same floor(x+0.5) quantization.
+    "q_ann_quantized_fold" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+      SimilarityOps.bruteForceTopKQuantizedFolded(
+        SimilarityOps.quantizeInt8(emb), queries, k = 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    }),
+
     // --- product quantization (PQ4×8 on dim 64 → 4 bytes/vector, 64×):
     // per-subspace assignment via the native CentroidIds kernel over
     // DETERMINISTIC codebooks, reconstruction + cosine top-k. The oracle
@@ -882,6 +895,31 @@ object SparkEntry {
         |scored AS (
         |  SELECT q.query_id, dq.vec_id,
         |         round(list_cosine_similarity(dq.dv, q.qvec), 6) AS cos
+        |  FROM dq CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // scale cancellation makes the folded cosine the cosine OF the raw
+    // integer vectors — the oracle recomputes the same floor(x+0.5) codes
+    // and scores them directly (no dequantize on either side)
+    "q_ann_quantized_fold" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |dq AS (SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v,
+        |                x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT) * 1.0)
+        |         END AS q8
+        |       FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, dq.vec_id,
+        |         round(list_cosine_similarity(dq.q8, q.qvec), 6) AS cos
         |  FROM dq CROSS JOIN q),
         |ranked AS (
         |  SELECT query_id, vec_id, cos,

@@ -59,12 +59,20 @@ object SimilarityOps {
       .drop("bucket0")
   }
 
-  /** Exact cosine re-rank of probed candidates → top-k per query. */
+  /** Exact cosine re-rank of probed candidates → top-k per query.
+    *
+    * No (query_id, vec_id) dedup: every caller's candidate set is unique by
+    * construction — a corpus vector lives in exactly ONE bucket/list and a
+    * query's probe set is distinct values (bucket0 plus distinct 1-bit
+    * flips; CentroidIds returns distinct ids; the ADC shortlist is a
+    * row_number cut), so at most one probe row matches each vector. The
+    * dropDuplicates this replaces was a full extra shuffle of the scored
+    * candidate set on every ANN query (the single-exchange plan assertion
+    * in PipelineSpec pins its absence; the oracles pin the results). */
   private def rerank(candidates: DataFrame, k: Int): DataFrame = {
     val scored = candidates
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("embedding"), col("qvec")), 6).as("cos"))
-      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -300,6 +300,13 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.22, s"ANN recall $recall no better than random scan fraction")
+    // plan pin: the re-rank shuffles ONCE (the ranking window) — candidates
+    // are (query_id, vec_id)-unique by construction (one bucket per vector ×
+    // distinct probes), so no dedup exchange belongs in the plan
+    val annPlan = graft.operators.SimilarityOps.annTopK(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(annPlan).size
+    assert(nExchanges == 1, s"ANN plan carries $nExchanges hash exchanges (want 1):\n${annPlan.take(1500)}")
 
     // (b) clustered data (the real-corpus shape): 10 clusters, strong
     // direction + noise → LSH recall must be near-exact.
