@@ -494,6 +494,14 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // --- corpus balancing: deterministic per-source cap (keep the 10 docs
+    // per source with the smallest portable hash — an unbiased per-domain
+    // sample, not a crawl-order prefix). Oracle recomputes the identical
+    // md5-derived ordering, so the exact kept set is value-checked.
+    "q_domain_cap" -> ((s, dir) =>
+      TextOps.perSourceCap(docs(s, dir), maxPerSource = 10)
+        .select(col("doc_id"), col("source"))),
+
     // --- intra-document repetition (Gopher-style quality signal)
     "q_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(docs(s, dir))
@@ -1116,6 +1124,22 @@ object SparkEntry {
          |WHERE h < CASE lang WHEN 'en' THEN ${TextOps.rateThreshold(0.5)}
          |                    WHEN 'de' THEN ${TextOps.rateThreshold(0.25)}
          |                    ELSE ${TextOps.rateThreshold(0.1)} END""".stripMargin,
+
+    // same 60-bit md5-derived hash as q_sample_mix, different salt; the
+    // window ordering (hash asc, doc_id asc) is replicated exactly
+    "q_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(1, 16),
+        |        i -> CAST(strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || 'graft-cap'), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS h
+        |  FROM documents)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS r
+        |  FROM h)
+        |WHERE r <= 10""".stripMargin,
 
     "q_repetition" ->
       """WITH d AS (

@@ -532,6 +532,17 @@ object SimilarityOps {
       .withColumn("list_id", ivfListId(col("embedding"), index))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** Incremental index INGEST: append a new batch of vectors into existing
+    * [[writeIvfPq]] storage — list assignment + PQ codes are computed for
+    * the BATCH only and land `mode("append")` in the same list partitions;
+    * the historical index is never rewritten (the daily-increment shape;
+    * retrain the coarse/PQ quantizers only when drift warrants a rebuild). */
+  def appendIvfPq(newVectors: DataFrame, index: IvfIndex,
+                  codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    withPqCodes(newVectors, codebooks)
+      .withColumn("list_id", ivfListId(col("embedding"), index))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
     * become STATIC partition filters (queries broadcast-small by contract),
     * so the ADC scan touches ~nprobe/nLists of the corpus — the twin of

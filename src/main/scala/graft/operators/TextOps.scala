@@ -138,6 +138,30 @@ object TextOps {
     documents.filter(portableRowHash(col(keyCol), salt) < thr)
   }
 
+  /**
+   * Deterministic per-source (domain) CAP — the corpus-balancing primitive
+   * ("no domain contributes more than N documents"): keep, per source, the
+   * `maxPerSource` docs with the smallest portable row hash (doc_id
+   * tie-break) — reproducible, partitioning-invariant, and a uniform random
+   * subset of each domain (the hash is uniform in the key, so the kept set
+   * is an unbiased sample rather than a crawl-order prefix).
+   *
+   * 100 TB shape: the ranking window partitions by source, and Spark's
+   * WindowGroupLimit pushes a PARTIAL top-N below the exchange — a
+   * mega-domain contributes at most N rows per input partition to the
+   * shuffle, not its full membership (plan-pinned in tests).
+   */
+  def perSourceCap(documents: DataFrame, maxPerSource: Int,
+                   sourceCol: String = "source", salt: String = "graft-cap",
+                   keyCol: String = "doc_id"): DataFrame = {
+    require(maxPerSource > 0, s"maxPerSource must be positive: $maxPerSource")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(portableRowHash(col(keyCol), salt).asc, col(keyCol).asc)
+    documents.withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= maxPerSource).drop("src_rank")
+  }
+
   // -------------------------------------------------------------------------
   // intra-document repetition (Gopher/RefinedWeb-style quality signal)
   // -------------------------------------------------------------------------

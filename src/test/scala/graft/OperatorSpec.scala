@@ -173,6 +173,30 @@ class OperatorSpec extends AnyFunSuite {
 
   // ---------------- DedupOps ----------------
 
+  test("perSourceCap: cap respected, partitioning-invariant, partial top-N below the exchange") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(7))).as("source"),
+      lit("text").as("text"))
+    val capped = TextOps.perSourceCap(docs, maxPerSource = 20)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySource.values.forall(_ <= 20) && bySource.size == 7)
+    // deterministic + partitioning-invariant: a different physical layout
+    // must keep the EXACT same docs (hash order, not row order)
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.perSourceCap(docs.repartition(13), maxPerSource = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "per-source cap depends on physical layout")
+    // a source under the cap keeps everything
+    val small = TextOps.perSourceCap(docs.filter(col("doc_id") < 10), maxPerSource = 20)
+    assert(small.count() == 10)
+    // scale shape: the rank<=N filter reaches a partial WindowGroupLimit
+    // below the exchange, so a mega-domain never shuffles its full membership
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window-group limit in plan:\n${plan.take(1200)}")
+  }
+
   test("exact dedup: normalized duplicates collapse to min doc_id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val groups = DedupOps.exactDuplicates(df).collect()

@@ -760,6 +760,20 @@ class PipelineSpec extends AnyFunSuite {
     // the ADC scan must prune at the partition level, not post-filter
     val planTxt = got.queryExecution.executedPlan.toString
     assert(planTxt.contains("PartitionFilters: [list_id"), planTxt.take(2000))
+
+    // incremental index ingest: a new batch appends into the SAME list
+    // partitions; the stored composed tier over old∪new equals the
+    // in-memory path over the union corpus
+    val more = spark.range(400, 500).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i + 7)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+        .as("embedding"))
+    SimilarityOps.appendIvfPq(more, index, books, path)
+    val gotAll = SimilarityOps.annTopKIvfPqStored(spark, path, queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+    val wantAll = SimilarityOps.annTopKIvfPqExact(emb.unionByName(more), queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+    assert(key(gotAll) == key(wantAll), "appended index diverges from union corpus")
   }
 
   test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
