@@ -794,6 +794,9 @@ class PipelineSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o).isEmpty, s"queries without oracles (would grade as rows-only): ${q -- o}")
+    // the driver smoke-checks entry() rows > 0 — pin it here so a flagship
+    // regression surfaces in the suite, not first in the driver's smoke
+    assert(SparkEntry.entry(spark).count() > 0, "flagship entry() produced no rows")
   }
 
   test("F6 nameFromUrl: last segment, query/fragment stripped, decoded (pystow semantics)") {
