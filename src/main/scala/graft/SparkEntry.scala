@@ -888,21 +888,28 @@ object SparkEntry {
     "q_ann_ivf" -> bruteForceTopKSql,
 
     // identical double arithmetic order to the engine on both the quantize
-    // and dequantize sides: (x*127)/scale + 0.5 floored, then (q*scale)/127
+    // and dequantize sides: (x*127)/scale + 0.5 floored, then (q*scale)/127.
+    // Zero vectors score the engine's -2.0 sentinel on BOTH sides (Spark's
+    // 0/0 cosine is NaN and ranks FIRST under DESC; DuckDB's
+    // list_cosine_similarity returns -1 and ranks last — neither is the
+    // other, so the undefined case is pinned explicitly).
     "q_ann_quantized" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sc AS (SELECT vec_id, v,
         |         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
-        |dq AS (SELECT vec_id,
+        |dq AS (SELECT vec_id, scale,
         |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
         |              ELSE list_transform(v,
         |                x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT) * scale / 127.0)
         |         END AS dv
         |       FROM sc),
-        |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS query_id, v AS qvec,
+        |        list_max(list_transform(v, x -> abs(x))) AS qmax
+        |      FROM e WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.query_id, dq.vec_id,
-        |         round(list_cosine_similarity(dq.dv, q.qvec), 6) AS cos
+        |         CASE WHEN dq.scale = 0 OR q.qmax = 0 THEN -2.0
+        |              ELSE round(list_cosine_similarity(dq.dv, q.qvec), 6) END AS cos
         |  FROM dq CROSS JOIN q),
         |ranked AS (
         |  SELECT query_id, vec_id, cos,
@@ -913,21 +920,25 @@ object SparkEntry {
 
     // scale cancellation makes the folded cosine the cosine OF the raw
     // integer vectors — the oracle recomputes the same floor(x+0.5) codes
-    // and scores them directly (no dequantize on either side)
+    // and scores them directly (no dequantize on either side). Zero vectors
+    // score the engine's -2.0 sentinel on both sides (see q_ann_quantized).
     "q_ann_quantized_fold" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |sc AS (SELECT vec_id, v,
         |         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
-        |dq AS (SELECT vec_id,
+        |dq AS (SELECT vec_id, scale,
         |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
         |              ELSE list_transform(v,
         |                x -> CAST(floor(x * 127 / scale + 0.5) AS BIGINT) * 1.0)
         |         END AS q8
         |       FROM sc),
-        |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS query_id, v AS qvec,
+        |        list_max(list_transform(v, x -> abs(x))) AS qmax
+        |      FROM e WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.query_id, dq.vec_id,
-        |         round(list_cosine_similarity(dq.q8, q.qvec), 6) AS cos
+        |         CASE WHEN dq.scale = 0 OR q.qmax = 0 THEN -2.0
+        |              ELSE round(list_cosine_similarity(dq.q8, q.qvec), 6) END AS cos
         |  FROM dq CROSS JOIN q),
         |ranked AS (
         |  SELECT query_id, vec_id, cos,

@@ -559,10 +559,16 @@ object DedupOps {
     val groups = nearDupGroups(allPairs)
     val histComponents = groups.join(histIds, Seq("doc_id"), "left_semi")
       .select("keep_id").distinct()
+    // the drop-decision set is PINNED: it is the junction both returned
+    // frames hang off (survivors anti-join; store update via survivors),
+    // and as a lazy plan the whole verification tail — history semi-join,
+    // candidate re-shingle, pair verify, components — would re-run once per
+    // consumer action. The set itself is near-dup-sized (narrow ids).
     val dropped = groups.join(histComponents, Seq("keep_id"), "left_semi")
       .select("doc_id") // every member of a history-touching component
       .unionByName(groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
       .distinct()
+      .localCheckpoint(true)
     val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
     val updated = store.select("doc_id", "band_idx", "band_hash")
       .unionByName(batchBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))

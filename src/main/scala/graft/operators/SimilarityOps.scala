@@ -238,10 +238,20 @@ object SimilarityOps {
    */
   def bruteForceTopKQuantized(quantized: DataFrame, queries: DataFrame,
                               k: Int = 5): DataFrame = {
+    // zero vectors score the SENTINEL -2.0 (below any cosine) instead of
+    // 0/0 = NaN: Spark ranks NaN FIRST under DESC while DuckDB's
+    // list_cosine_similarity returns -1 for zero vectors — an undefined
+    // cosine must sort LAST identically on both sides or a zero vector in a
+    // refreshed fixture would flip the oracle from pass to fail
+    val qs = queries.select(col("query_id"), col("qvec"),
+      aggregate(col("qvec").cast("array<double>"), lit(0.0d),
+        (acc, x) => greatest(acc, abs(x))).as("qmax"))
     val scored = quantized.withColumnRenamed("qvec", "q8") // queries carry "qvec"
-      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(qs))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(dequantized(col("scale"), col("q8")), col("qvec")), 6).as("cos"))
+        when(col("scale") === 0.0d || col("qmax") === 0.0d, lit(-2.0d))
+          .otherwise(round(cosine(dequantized(col("scale"), col("q8")), col("qvec")), 6))
+          .as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -260,8 +270,9 @@ object SimilarityOps {
    */
   def bruteForceTopKQuantizedFolded(quantized: DataFrame, queries: DataFrame,
                                     k: Int = 5): DataFrame = {
-    // zero vectors: scale 0 ⇒ |q8| = 0 ⇒ cos NaN — the same NaN the
-    // dequantized path produces for them (cosine against a zero vector)
+    // zero vectors (scale 0 ⇒ |q8| = 0, or a zero query) score the sentinel
+    // -2.0, same convention as [[bruteForceTopKQuantized]] — never NaN
+    // (Spark ranks NaN first under DESC; DuckDB returns -1: both wrong ways)
     val corpus = quantized
       .select(col("vec_id"), col("qvec").cast("array<double>").as("q8"))
       .withColumn("n8",
@@ -274,7 +285,8 @@ object SimilarityOps {
       lit(0.0d), (acc, x) => acc + x)
     val scored = corpus.crossJoin(broadcast(qs))
       .select(col("query_id"), col("vec_id"),
-        round(dot / (col("n8") * col("qnorm")), 6).as("cos"))
+        when(col("n8") === 0.0d || col("qnorm") === 0.0d, lit(-2.0d))
+          .otherwise(round(dot / (col("n8") * col("qnorm")), 6)).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -521,27 +533,34 @@ object SimilarityOps {
     rerank(fetched, k)
   }
 
-  /** Composed-tier STORAGE path: corpus written ONCE partitioned by IVF list
-    * with the PQ codes AND the full vector in-file. Columnar projection makes
-    * both tier reads cheap: ADC touches only the (vec_id, codes) columns of
-    * probed partitions; the exact re-rank re-reads only (vec_id, embedding)
-    * of the broadcast-small shortlist id set. */
+  /** Composed-tier STORAGE path: corpus written ONCE (as ingest batch 0)
+    * partitioned by IVF list with the PQ codes AND the full vector in-file.
+    * Columnar projection makes both tier reads cheap: ADC touches only the
+    * (vec_id, codes) columns of probed partitions; the exact re-rank
+    * re-reads only (vec_id, embedding) of the broadcast-small shortlist id
+    * set. Layout: `path/batch_id=N/list_id=L/` — the batch level makes
+    * incremental ingest ([[appendIvfPq]]) idempotent; list_id remains a
+    * partition column, so probe pruning is unaffected. */
   def writeIvfPq(embeddings: DataFrame, index: IvfIndex,
                  codebooks: Array[Array[Array[Double]]], path: String): Unit =
-    withPqCodes(embeddings, codebooks)
-      .withColumn("list_id", ivfListId(col("embedding"), index))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    appendIvfPq(embeddings, index, codebooks, path, batchId = 0L)
 
-  /** Incremental index INGEST: append a new batch of vectors into existing
+  /** Incremental index INGEST: a new batch of vectors lands in existing
     * [[writeIvfPq]] storage — list assignment + PQ codes are computed for
-    * the BATCH only and land `mode("append")` in the same list partitions;
-    * the historical index is never rewritten (the daily-increment shape;
-    * retrain the coarse/PQ quantizers only when drift warrants a rebuild). */
+    * the BATCH only; the historical index is never rewritten (the
+    * daily-increment shape; retrain the coarse/PQ quantizers only when
+    * drift warrants a rebuild). IDEMPOTENT: each batch OVERWRITES its own
+    * `batch_id=N` subtree, so a retried/replayed ingest job rewrites
+    * instead of appending duplicate index rows (duplicate vec_ids would
+    * silently crowd genuine neighbors out of stored top-k results — the
+    * re-rank has no dedup because candidates are unique by construction). */
   def appendIvfPq(newVectors: DataFrame, index: IvfIndex,
-                  codebooks: Array[Array[Array[Double]]], path: String): Unit =
+                  codebooks: Array[Array[Array[Double]]], path: String,
+                  batchId: Long): Unit =
     withPqCodes(newVectors, codebooks)
       .withColumn("list_id", ivfListId(col("embedding"), index))
-      .write.mode("append").partitionBy("list_id").parquet(path)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/batch_id=$batchId")
 
   /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
     * become STATIC partition filters (queries broadcast-small by contract),

@@ -78,20 +78,35 @@ object StreamingDedup {
             .getOrElse(emptyStore(spark))
           // the retained corpus IS the history the verify stage consults
           // (candidate ids only — a near-dup-sized semi-join, not a rescan).
-          // The batch's OWN partition is excluded: a crash-replay would
-          // otherwise read its half-written previous attempt as "history"
-          // and drop the whole batch as duplicates of itself.
+          // History = the COMMITTED batch partitions, enumerated explicitly:
+          //  - the batch's OWN partition is excluded (a crash-replay would
+          //    otherwise read its half-written previous attempt as "history"
+          //    and drop the whole batch as duplicates of itself);
+          //  - a bare directory-exists check would wedge restarts forever
+          //    after a first-batch crash (outDir holds only _temporary, and
+          //    schema inference throws on every replay) — enumerating
+          //    batch_id= dirs with an explicit schema reads exactly the
+          //    completed partitions and nothing else.
+          val committed = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+              f.getName != s"batch_id=$batchId")
+            .map(_.getAbsolutePath)
           val history =
-            if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-              .filter(org.apache.spark.sql.functions.col("batch_id") =!= batchId)
+            if (committed.isEmpty) emptyHistory(spark)
+            else spark.read.schema(docSchema).parquet(committed: _*)
               .select("doc_id", "text")
-            else emptyHistory(spark)
           val (survivors, updatedStore) = DedupOps.incrementalMinhashDedup(
             batch, store, history, threshold, k, bands)
           // output first (idempotent overwrite), store tag LAST — see object doc
           survivors.select("doc_id", "text")
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           ic.writeSnapshot(updatedStore, StoreTable, tag)
+          // retention: each batch persists the FULL cumulative store — without
+          // expiry a long-running ingest accumulates O(batches) complete
+          // copies (quadratic bytes). keepLast=2 is replay-safe: batch N can
+          // only replay while its checkpoint is uncommitted, i.e. before
+          // batch N+1 ever starts, so an expired older tag is never probed.
+          ic.expireSnapshots(StoreTable, keepLast = 2)
           ()
         }
       }

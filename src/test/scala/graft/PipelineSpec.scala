@@ -747,7 +747,7 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val index = SimilarityOps.trainIvf(emb, nLists = 8)
     val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
-    val path = "target/fixtures/ann_ivfpq_stored"
+    val path = "target/fixtures/ann_ivfpq_stored_" + System.nanoTime()
     SimilarityOps.writeIvfPq(emb, index, books, path)
     val got = SimilarityOps.annTopKIvfPqStored(spark, path, queries, index, books,
       k = 3, nprobe = 3, shortlist = 20)
@@ -768,12 +768,33 @@ class PipelineSpec extends AnyFunSuite {
       array((0 until 16).map(i =>
         (pmod(xxhash64(col("id"), lit(i + 7)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
         .as("embedding"))
-    SimilarityOps.appendIvfPq(more, index, books, path)
+    SimilarityOps.appendIvfPq(more, index, books, path, batchId = 1)
+    // replayed ingest of the SAME batch must rewrite, not duplicate — a
+    // doubled vec_id would crowd a genuine neighbor out of the top-k
+    SimilarityOps.appendIvfPq(more, index, books, path, batchId = 1)
     val gotAll = SimilarityOps.annTopKIvfPqStored(spark, path, queries, index, books,
       k = 3, nprobe = 3, shortlist = 20)
     val wantAll = SimilarityOps.annTopKIvfPqExact(emb.unionByName(more), queries, index, books,
       k = 3, nprobe = 3, shortlist = 20)
     assert(key(gotAll) == key(wantAll), "appended index diverges from union corpus")
+    assert(spark.read.parquet(path).count() == 500, "replayed batch duplicated index rows")
+  }
+
+  test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
+    // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
+    // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
+    // oracles pin the undefined case with a -2.0 sentinel, but the rest of
+    // the ANN family (q_ann_topk/lsh/ivf/pq) relies on the driver fixtures
+    // containing none. Pin that assumption so a refreshed fixture fails HERE
+    // with a pointer, not in the gate with a bare hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val zeroes = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .filter(aggregate(col("embedding").cast("array<double>"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x))) === 0.0d)
+        .count()
+      assert(zeroes == 0, s"$sf has $zeroes zero embedding vectors — extend the " +
+        "-2.0 sentinel convention (q_ann_quantized/_fold) to the whole ANN family first")
+    }
   }
 
   test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
