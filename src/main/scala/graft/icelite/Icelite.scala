@@ -40,9 +40,11 @@ import org.apache.spark.sql.functions._
  * `current` may transiently lag the true max by one write — manifests
  * remain the source of truth and [[maxSnapshotId]] prefers them. Crash
  * hygiene: a writer that dies mid-write leaves its `.claim` behind, which
- * permanently shields that one id's data dir from the orphan sweep —
- * deleting stale `.claim` files (no matching manifest, old mtime) is an
- * operator action by design.
+ * shields that one id's data dir from the orphan sweep; [[expireSnapshots]]
+ * GCs such claims automatically once they are provably dead — no matching
+ * manifest AND mtime older than `staleClaimMs` (a LIVE writer's claim is
+ * always younger than any sane threshold: the claim is created at id
+ * allocation and released when its write returns).
  */
 final class Icelite(rootDir: String) extends Serializable {
 
@@ -164,7 +166,10 @@ final class Icelite(rootDir: String) extends Serializable {
    * @return snapshot id
    */
   def writeSnapshot(df: DataFrame, table: String, tag: String = "",
-                    partitionBy: Seq[String] = Nil): Long = {
+                    partitionBy: Seq[String] = Nil,
+                    buckets: Option[BucketedTables.BucketSpec] = None): Long = {
+    require(partitionBy.isEmpty || buckets.isEmpty,
+      "a snapshot is partitioned OR bucketed, not both")
     val dir = tableDir(table)
     Files.createDirectories(dir.resolve("snapshots"))
     val id = allocateId(table)
@@ -172,9 +177,18 @@ final class Icelite(rootDir: String) extends Serializable {
 
     val persisted = df.persist()
     try {
-      val writer = persisted.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(dataPath.toString)
+      buckets match {
+        case Some(spec) =>
+          // hash-bucketed layout (recorded in the manifest, honored by
+          // readSnapshot): a reader joining/grouping on the bucket columns
+          // pays NO exchange on this snapshot's side — the signature-store
+          // contract ([[graft.operators.DedupOps.incrementalMinhashDedup]])
+          BucketedTables.write(persisted, dataPath.toString, spec)
+        case None =>
+          val writer = persisted.write.mode("overwrite")
+          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+            .parquet(dataPath.toString)
+      }
 
       val partCounts = persisted
         .groupBy(spark_partition_id().as("partition_id")).count()
@@ -182,9 +196,12 @@ final class Icelite(rootDir: String) extends Serializable {
       val rowCount = partCounts.map(_._2).sum
 
       val safeTag = sanitizeTag(tag)
+      val bucketJson = buckets
+        .map(s => s""""bucket_n":${s.numBuckets},"bucket_cols":"${s.cols.mkString(",")}",""")
+        .getOrElse("")
       val manifest =
         s"""{"snapshot_id":$id,"parent_id":${currentSnapshotId(table).getOrElse(-1L)},""" +
-          s""""row_count":$rowCount,"tag":"$safeTag","data_path":"$dataPath",""" +
+          s""""row_count":$rowCount,"tag":"$safeTag",$bucketJson"data_path":"$dataPath",""" +
           s""""partition_counts":{${partCounts.map { case (p, c) => s""""$p":$c""" }.mkString(",")}}}"""
       // manifest lands ATOMICALLY: a concurrent findByTag either sees the
       // complete manifest or no manifest — never a prefix that would parse
@@ -241,11 +258,26 @@ final class Icelite(rootDir: String) extends Serializable {
    *
    * @return ids actually expired
    */
-  def expireSnapshots(table: String, keepLast: Int, keepTags: Seq[String] = Nil): Seq[Long] =
+  def expireSnapshots(table: String, keepLast: Int, keepTags: Seq[String] = Nil,
+                      staleClaimMs: Long = Icelite.DefaultStaleClaimMs): Seq[Long] =
     this.synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
       val snaps = tableDir(table).resolve("snapshots")
       if (!Files.exists(snaps)) return Nil
+      // stale-claim GC first, so a crashed writer's orphaned data dir becomes
+      // sweepable in THIS pass: a claim with no manifest and an mtime older
+      // than the threshold belongs to a dead writer (a live one created its
+      // claim this run and still holds it; one that committed has a manifest
+      // and keeps its id via the normal rules). pendingIds double-guards
+      // this instance's own in-flight writes whatever the threshold.
+      claimedIds(table).foreach { id =>
+        val claim = snaps.resolve(s"$id.claim")
+        val dead = !Files.exists(snaps.resolve(s"$id.json")) &&
+          !pendingIds.contains(s"$table/$id") &&
+          Files.exists(claim) &&
+          Files.getLastModifiedTime(claim).toMillis < System.currentTimeMillis() - staleClaimMs
+        if (dead) Files.deleteIfExists(claim)
+      }
       val stream = Files.list(snaps)
       val ids = try stream.iterator().asScala
         .map(_.getFileName.toString)
@@ -308,10 +340,28 @@ final class Icelite(rootDir: String) extends Serializable {
       expired
     }
 
+  private val BucketSpecRe =
+    """"bucket_n":(\d+),"bucket_cols":"([^"]*)"""".r
+
+  /** Bucket spec recorded in a snapshot's manifest, if any. */
+  def bucketSpec(table: String, id: Long): Option[BucketedTables.BucketSpec] = {
+    val mf = tableDir(table).resolve(s"snapshots/$id.json")
+    if (!Files.exists(mf)) return None
+    BucketSpecRe.findFirstMatchIn(new String(Files.readAllBytes(mf), "UTF-8"))
+      .map(m => BucketedTables.BucketSpec(m.group(1).toInt, m.group(2).split(",").toSeq))
+  }
+
   def readSnapshot(spark: SparkSession, table: String, id: Option[Long] = None): DataFrame = {
     val sid = id.orElse(currentSnapshotId(table))
       .getOrElse(throw new IllegalStateException(s"icelite table $table has no snapshots"))
-    spark.read.parquet(tableDir(table).resolve(s"data/snap-$sid").toString)
+    val dataDir = tableDir(table).resolve(s"data/snap-$sid").toString
+    bucketSpec(table, sid) match {
+      // bucketed snapshots read through the catalog so the scan KEEPS the
+      // hash partitioning (a plain parquet read would be correct but would
+      // re-shuffle this side of every keyed join — the layout's whole point)
+      case Some(spec) => BucketedTables.read(spark, dataDir, spec)
+      case None       => spark.read.parquet(dataDir)
+    }
   }
 
   /**
@@ -337,4 +387,8 @@ object Icelite {
     * Icelite INSTANCES on one root race exactly like two threads of one
     * instance, so a per-instance lock cannot keep the pointer monotonic. */
   private[icelite] val pointerLock = new Object
+
+  /** A `.claim` older than this with no manifest is a dead writer's (24 h —
+    * orders of magnitude beyond any single snapshot write). */
+  val DefaultStaleClaimMs: Long = 24L * 60 * 60 * 1000
 }

@@ -177,11 +177,12 @@ object DedupOps {
     * corpus scale that's an executor OOM on exactly the bucket the guard
     * exists to drop. Under the cap the output is identical to
     * `sort_array(collect_set(doc_id))`. */
-  private def guardedBuckets(banded: DataFrame, bucketCols: Seq[String]): DataFrame = {
+  private def guardedBuckets(banded: DataFrame, bucketCols: Seq[String],
+                             minMembers: Int = 2): DataFrame = {
     val (droppedBuckets, droppedMembers) = guardAccumulators(banded)
     val guard = udf { n: Long =>
       if (n > MaxBucket) { droppedBuckets.add(1L); droppedMembers.add(n); false }
-      else n >= 2
+      else n >= minMembers
     }
     banded
       .groupBy(bucketCols.map(col): _*)
@@ -503,14 +504,21 @@ object DedupOps {
    *
    * State carried between batches: `store(doc_id, band_idx, band_hash)` =
    * [[bandedSignatures]] of every RETAINED doc — bands × ~16 bytes/doc,
-   * written back as an icelite snapshot. Candidates come from band-bucket
-   * equality: intra-batch via the guarded [[bucketPairs]], batch×history via
-   * one equi-join of the batch's bands against the store (narrow keys; at
-   * scale the store is bucketed by band_hash so only the batch side
-   * shuffles — the history's signatures are never re-computed and its TEXT
-   * is never re-shingled wholesale: `history(doc_id, text)` is consulted
-   * only for the candidate ids, a near-dup-sized semi-join → point lookups
-   * on a doc_id-bucketed corpus table).
+   * written back as a BUCKETED icelite snapshot
+   * (`BucketedTables.BucketSpec(n, Seq("band_idx", "band_hash"))` — the
+   * [[graft.streaming.StreamingDedup]] layout). Candidates come from
+   * band-bucket equality: intra-batch via the guarded [[bucketPairs]],
+   * batch×history via [[crossStoreCandidates]] — a groupBy + equi-join
+   * keyed on the store's OWN bucket columns, so when the store arrives
+   * through its bucketed-table read NEITHER the grouping nor the join adds
+   * a store-side exchange (plan-pinned in OperatorSpec): per batch, only
+   * the batch's bands shuffle, and per-batch cost stops growing with corpus
+   * size. The history's signatures are never re-computed and its TEXT is
+   * never re-shingled wholesale: `history(doc_id, text)` is consulted only
+   * for the candidate ids via [[fetchDocsByIds]] — when the candidate id
+   * set is driver-bounded it becomes an `IN` filter that BUCKET-PRUNES a
+   * doc_id-bucketed corpus table at the scan (point lookups), else a
+   * broadcast semi-join (still no history shuffle).
    *
    * Survivor rule (≡ full-corpus [[minhashSurvivors]] over history ∪ batch
    * whenever historical doc_ids precede batch doc_ids — asserted by the
@@ -527,6 +535,45 @@ object DedupOps {
    *   band signatures (reuses the already-computed batch bands; nothing
    *   historical is recomputed)
    */
+  /** Batch×store candidate pairs (a = batch doc, b = retained hist doc) via
+    * band-bucket equality, GUARDED on the store side: store buckets are
+    * grouped (memory-bounded [[graft.functions.CappedCollectSet]]) and a
+    * bucket larger than [[MaxBucket]] — a degenerate signature the
+    * steady-state store would otherwise keep forever — is dropped LOUDLY
+    * through the same [[bucketGuardCounts]] accumulators as the intra-batch
+    * guard, instead of exploding the join |batch bucket|×|store bucket|
+    * (one guard policy for both candidate paths). Both the groupBy and the
+    * join are keyed on (band_idx, band_hash), the store's bucket columns —
+    * a bucketed store read satisfies both distributions, so NO store-side
+    * exchange exists in the plan and only the batch side shuffles. */
+  private[graft] def crossStoreCandidates(batchBands: DataFrame,
+                                          store: DataFrame): DataFrame = {
+    val storeBuckets = guardedBuckets(
+      store.select("doc_id", "band_idx", "band_hash"),
+      Seq("band_idx", "band_hash"), minMembers = 1)
+    batchBands.join(storeBuckets, Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("a"), explode(col("ids")).as("b"))
+      .distinct()
+  }
+
+  /** How many candidate ids the driver-side probe of [[fetchDocsByIds]] will
+    * hold before falling back to a semi-join (ids are 8 bytes; the IN list
+    * must also stay small enough to plan). */
+  val FetchProbeLimit = 10000
+
+  /** Fetch `docs` rows whose doc_id is in `ids` (a near-dup-sized set).
+    * Bounded driver probe (the [[nearDupGroups]] cost-switch pattern): if the
+    * id set fits [[FetchProbeLimit]], push it as an `IN` filter — on a
+    * doc_id-BUCKETED corpus table that filter prunes whole bucket files at
+    * the scan (point lookups; `SelectedBucketsCount` plan-pinned in tests) —
+    * else fall back to a broadcast semi-join (full scan, still no shuffle
+    * of `docs`). */
+  private[graft] def fetchDocsByIds(docs: DataFrame, ids: DataFrame): DataFrame = {
+    val probe = ids.limit(FetchProbeLimit + 1).collect().map(_.get(0))
+    if (probe.length <= FetchProbeLimit) docs.filter(col("doc_id").isin(probe: _*))
+    else docs.join(ids, Seq("doc_id"), "left_semi")
+  }
+
   def incrementalMinhashDedup(batch: DataFrame, store: DataFrame,
                               history: DataFrame, threshold: Double = 0.8,
                               k: Int = 16, bands: Int = 4): (DataFrame, DataFrame) = {
@@ -534,19 +581,17 @@ object DedupOps {
     // update) — pin the narrow rows once (same rule as minhashNearDuplicates)
     val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(true)
     val intra = bucketPairs(batchBands, "band_idx", "band_hash")
-    val cross = batchBands
-      .join(store.withColumnRenamed("doc_id", "hist_id"), Seq("band_idx", "band_hash"))
-      .select(col("doc_id").as("a"), col("hist_id").as("b")).distinct()
+    val cross = crossStoreCandidates(batchBands, store)
       .localCheckpoint(true) // candidate ids + verify both read it
     // verify candidates with the exact shingle-Jaccard predicate; ONLY
-    // candidate docs' text is (re-)shingled, semi-joined by id first
+    // candidate docs' text is (re-)shingled, fetched by candidate id
     val batchIds = intra.select(col("a").as("doc_id"))
       .unionByName(intra.select(col("b").as("doc_id")))
       .unionByName(cross.select(col("a").as("doc_id"))).distinct()
     val histIds = cross.select(col("b").as("doc_id")).distinct()
     val shBatch = shingleArray(batch.join(batchIds, Seq("doc_id"), "left_semi"))
       .localCheckpoint(true)
-    val shHist = shingleArray(history.join(histIds, Seq("doc_id"), "left_semi"))
+    val shHist = shingleArray(fetchDocsByIds(history, histIds))
     def verified(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
       pairs
         .join(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")

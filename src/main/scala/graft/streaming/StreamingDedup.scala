@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-import graft.icelite.Icelite
+import graft.icelite.{BucketedTables, Icelite}
 import graft.operators.DedupOps
 
 /**
@@ -40,6 +40,19 @@ object StreamingDedup {
     StructField("text", StringType)))
 
   val StoreTable = "dedup_store"
+
+  /** Store snapshots are hash-bucketed on the band join keys, so the
+    * per-batch candidate join ([[DedupOps.crossStoreCandidates]]) never
+    * shuffles the store — per-batch cost is batch-sized, not corpus-sized.
+    * At 100 TB size buckets so one bucket's ~16 B rows fit an executor. */
+  val StoreBuckets: BucketedTables.BucketSpec =
+    BucketedTables.BucketSpec(8, Seq("band_idx", "band_hash"))
+
+  /** Retained-corpus batch partitions are doc_id-bucketed, so the verify
+    * stage's candidate-text fetch ([[DedupOps.fetchDocsByIds]]) bucket-prunes
+    * at the scan — point lookups, not a full history-text pass per batch. */
+  val HistoryBuckets: BucketedTables.BucketSpec =
+    BucketedTables.BucketSpec(8, Seq("doc_id"))
 
   private def emptyStore(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -77,7 +90,7 @@ object StreamingDedup {
             .map(id => ic.readSnapshot(spark, StoreTable, Some(id)))
             .getOrElse(emptyStore(spark))
           // the retained corpus IS the history the verify stage consults
-          // (candidate ids only — a near-dup-sized semi-join, not a rescan).
+          // (candidate ids only — bucket-pruned point lookups, not a rescan).
           // History = the COMMITTED batch partitions, enumerated explicitly:
           //  - the batch's OWN partition is excluded (a crash-replay would
           //    otherwise read its half-written previous attempt as "history"
@@ -86,21 +99,36 @@ object StreamingDedup {
           //    after a first-batch crash (outDir holds only _temporary, and
           //    schema inference throws on every replay) — enumerating
           //    batch_id= dirs with an explicit schema reads exactly the
-          //    completed partitions and nothing else.
-          val committed = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-            .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
-              f.getName != s"batch_id=$batchId")
-            .map(_.getAbsolutePath)
-          val history =
-            if (committed.isEmpty) emptyHistory(spark)
-            else spark.read.schema(docSchema).parquet(committed: _*)
-              .select("doc_id", "text")
+          //    completed partitions and nothing else;
+          //  - enumeration goes through Hadoop's FileSystem (resolved from
+          //    outDir's scheme), NOT java.io.File — a local-only listFiles
+          //    returns null for hdfs://-s3a:// outDirs, history silently
+          //    becomes empty, and re-crawled near-dups would SURVIVE with
+          //    no error (the exact silent-wrong-output this stage guards
+          //    against).
+          val outPath = new org.apache.hadoop.fs.Path(outDir)
+          val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val committed =
+            if (!fs.exists(outPath)) Seq.empty[String]
+            else fs.listStatus(outPath).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+                s.getPath.getName != s"batch_id=$batchId")
+              .map(_.getPath.toString)
+          // each committed partition reads through its doc_id-bucketed table
+          // registration, so the candidate-id IN filter (pushed through the
+          // union) prunes bucket files at every scan
+          val history = committed
+            .map(dir => BucketedTables.read(spark, dir, HistoryBuckets, Some(docSchema))
+              .select("doc_id", "text"))
+            .reduceOption(_.unionByName(_))
+            .getOrElse(emptyHistory(spark))
           val (survivors, updatedStore) = DedupOps.incrementalMinhashDedup(
             batch, store, history, threshold, k, bands)
-          // output first (idempotent overwrite), store tag LAST — see object doc
-          survivors.select("doc_id", "text")
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          ic.writeSnapshot(updatedStore, StoreTable, tag)
+          // output first (idempotent: BucketedTables.write clears + rewrites
+          // the batch's own dir), store tag LAST — see object doc
+          BucketedTables.write(survivors.select("doc_id", "text"),
+            s"$outDir/batch_id=$batchId", HistoryBuckets)
+          ic.writeSnapshot(updatedStore, StoreTable, tag, buckets = Some(StoreBuckets))
           // retention: each batch persists the FULL cumulative store — without
           // expiry a long-running ingest accumulates O(batches) complete
           // copies (quadratic bytes). keepLast=2 is replay-safe: batch N can

@@ -891,4 +891,113 @@ class OperatorSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_hash"))
   }
+
+  // ---------------- incremental-dedup store layout ----------------
+
+  test("bucketed signature store: per-batch band join adds NO store-side exchange") {
+    import graft.icelite.{BucketedTables, Icelite}
+    val root = java.nio.file.Files.createTempDirectory("graft_store_plan").toString
+    val ic = new Icelite(root)
+    val hist = (0L until 60L).map(i => (i, s"history document $i body ${i % 7} tail")).toDF("doc_id", "text")
+    val batch = (100L until 130L).map(i => (i, s"history document ${i - 100} body ${(i - 100) % 7} tail")).toDF("doc_id", "text")
+    val spec = graft.streaming.StreamingDedup.StoreBuckets
+    val id = ic.writeSnapshot(DedupOps.bandedSignatures(hist, k = 16, bands = 4),
+      "store", tag = "t", buckets = Some(spec))
+    assert(ic.bucketSpec("store", id).contains(spec)) // manifest records the layout
+    val store = ic.readSnapshot(spark, "store", Some(id))
+    val batchBands = DedupOps.bandedSignatures(batch, k = 16, bands = 4).localCheckpoint(true)
+    // static plan: AQE off so the exchange tree is inspectable, broadcast off
+    // so the pin holds for the at-scale join strategy (store >> batch: a
+    // broadcast of the STORE side would itself be a store-side exchange)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = DedupOps.crossStoreCandidates(batchBands, store)
+      val plan = cand.queryExecution.executedPlan
+      // the invariant lives at the BAND JOIN: its store-side subtree (scan →
+      // guard groupBy → join input) must be exchange-free — the bucketed scan
+      // already satisfies both the aggregation and the join distribution.
+      // (The pair-distinct above the join and the batch side below it DO
+      // shuffle; that's batch-sized, not store-sized.)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j: org.apache.spark.sql.execution.SparkPlan
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      }
+      assert(joins.size == 1, plan.treeString.take(2000))
+      val storeSides = joins.head.children.filter(c => c.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.nonEmpty)
+      assert(storeSides.size == 1, joins.head.treeString.take(2000))
+      val storeExchanges = storeSides.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeExchanges.isEmpty,
+        s"store-side exchange in the band join:\n${storeSides.head.treeString.take(1500)}")
+      val batchSide = joins.head.children.filterNot(storeSides.contains)
+      assert(batchSide.exists(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.nonEmpty)) // sanity: ONLY the batch side shuffles, not neither
+      // and the store IS read as a bucketed scan, not a plain parquet read
+      assert(plan.toString.contains("Bucketed: true"), plan.toString.take(2000))
+      // correctness of the layout-aware formulation: identical candidate set
+      // to the same computation over a plain in-memory store
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = DedupOps.crossStoreCandidates(batchBands,
+        DedupOps.bandedSignatures(hist, k = 16, bands = 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == plain && got.nonEmpty, s"bucketed=${got.size} plain=${plain.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("store-side mega-bucket guard: degenerate store bucket dropped LOUDLY") {
+    // a band bucket accumulated in the HISTORICAL store beyond MaxBucket
+    // (boilerplate kept forever) must not explode |batch|×|store| — it is
+    // dropped through the SAME accumulators as the intra-batch guard
+    val degenerate = spark.range(DedupOps.MaxBucket + 5L).select(
+      col("id").as("doc_id"), lit(0).as("band_idx"), lit(42L).as("band_hash"))
+    val normal = Seq((900000L, 1, 7L), (900001L, 1, 7L)).toDF("doc_id", "band_idx", "band_hash")
+    val store = degenerate.unionByName(normal)
+    val batchBands = Seq((5555L, 0, 42L), (5556L, 1, 7L)).toDF("doc_id", "band_idx", "band_hash")
+    val (b0, m0) = DedupOps.bucketGuardCounts(spark)
+    val pairs = DedupOps.crossStoreCandidates(batchBands, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (b1, m1) = DedupOps.bucketGuardCounts(spark)
+    // the normal bucket's cross candidates survive — including a SINGLE-member
+    // store bucket (minMembers=1 on the cross path: one retained copy is a
+    // valid duplicate source, unlike intra-batch pairing which needs 2)
+    assert(pairs == Set((5556L, 900000L), (5556L, 900001L)), s"got $pairs")
+    assert(b1 > b0, "degenerate store bucket dropped silently (no guard count)")
+    assert(m1 - m0 >= DedupOps.MaxBucket, s"dropped-members delta ${m1 - m0}")
+  }
+
+  test("history fetch: candidate ids bucket-prune a doc_id-bucketed corpus (point lookups)") {
+    import graft.icelite.BucketedTables
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_bkt").toString
+    val docs = (0L until 400L).map(i => (i, s"retained doc $i")).toDF("doc_id", "text")
+    val spec = graft.streaming.StreamingDedup.HistoryBuckets
+    BucketedTables.write(docs, dir, spec)
+    val history = BucketedTables.read(spark, dir, spec)
+    val ids = Seq(3L, 17L).toDF("doc_id")
+    val fetched = DedupOps.fetchDocsByIds(history, ids)
+    assert(fetched.collect().map(_.getLong(0)).toSet == Set(3L, 17L))
+    // the IN filter must reach the scan as bucket pruning: strictly fewer
+    // bucket FILES read than the table has buckets. Asserted on the scan
+    // node's optionalBucketSet (the pruning bitmap) — pruning applies even
+    // when DisableUnnecessaryBucketedScan turns off the scan's OUTPUT
+    // partitioning (no join here to exploit it), in which case the plan
+    // text shows neither "Bucketed: true" nor SelectedBucketsCount.
+    val scan = fetched.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail(fetched.queryExecution.executedPlan.toString.take(2000)))
+    val pruned = scan.optionalBucketSet
+    assert(pruned.isDefined, s"no bucket pruning at the scan: $scan")
+    assert(pruned.get.cardinality() < spec.numBuckets,
+      s"IN(2 ids) selected ${pruned.get.cardinality()}/${spec.numBuckets} buckets")
+    // over-limit id sets fall back to the semi-join path and stay correct
+    val manyIds = spark.range(0, DedupOps.FetchProbeLimit + 100L).select(col("id").as("doc_id"))
+    assert(DedupOps.fetchDocsByIds(history, manyIds).count() == 400L)
+  }
 }

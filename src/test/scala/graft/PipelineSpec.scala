@@ -216,6 +216,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(inflight), "orphaned data dir not reclaimed after claim release")
   }
 
+  test("icelite stale-claim GC: dead writer's claim + data swept in one pass, live claim shields") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = "target/icelite_staleclaim_" + System.nanoTime()
+    val ic = new Icelite(root)
+    ic.writeSnapshot(Seq((1, 1)).toDF("a", "b"), "t", tag = "live")
+    // dead writer (crashed in another process): claim + data dir, no
+    // manifest, mtime two days old — provably past DefaultStaleClaimMs
+    val deadData = Paths.get(root, "t", "data", "snap-700")
+    Files.createDirectories(deadData)
+    Files.write(deadData.resolve("part-0.parquet"), Array[Byte](1))
+    val deadClaim = Paths.get(root, "t", "snapshots", "700.claim")
+    Files.createFile(deadClaim)
+    Files.setLastModifiedTime(deadClaim,
+      FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    // live writer mid-flight in another process: fresh claim, no manifest yet
+    val liveData = Paths.get(root, "t", "data", "snap-701")
+    Files.createDirectories(liveData)
+    Files.write(liveData.resolve("part-0.parquet"), Array[Byte](1))
+    val liveClaim = Paths.get(root, "t", "snapshots", "701.claim")
+    Files.createFile(liveClaim)
+    ic.expireSnapshots("t", keepLast = 100)
+    // the stale claim AND its orphaned data dir are reclaimed in THIS pass
+    assert(!Files.exists(deadClaim), "stale claim not GC'd")
+    assert(!Files.exists(deadData), "dead writer's orphan data dir not swept")
+    // the fresh claim still shields its in-flight data (no interference)
+    assert(Files.exists(liveClaim), "live claim GC'd")
+    assert(Files.exists(liveData), "live writer's in-flight data vacuumed")
+    // committed snapshots untouched
+    assert(ic.readSnapshot(spark, "t").collect().nonEmpty)
+  }
+
   test("int8 quantization: bounded codes, extremes hit ±127, top-k recall vs full precision") {
     import graft.operators.SimilarityOps
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
