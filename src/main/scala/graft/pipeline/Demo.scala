@@ -39,9 +39,14 @@ object Demo {
     // incremental-ingest smoke (the steady-state corpus shape): day-1 docs
     // seed the minhash signature STORE as an icelite snapshot — the only
     // state carried between batches — then the day-2 batch dedups against
-    // the read-back store and writes the updated store as the next snapshot
-    val day1 = docs.filter(col("doc_id") % 2 === 0)
-    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    // the read-back store and writes the updated store as the next snapshot.
+    // Split by id RANGE, not parity: incrementalMinhashDedup's survivor rule
+    // equals full-corpus minhashSurvivors only when historical doc_ids
+    // precede batch doc_ids — the demo must model the steady-state shape
+    // under that documented precondition (doc_id is a signed xxhash64, so
+    // the sign split is an id-range split with both halves populated)
+    val day1 = docs.filter(col("doc_id") < 0)
+    val day2 = docs.filter(col("doc_id") >= 0)
     val storeId = ic.writeSnapshot(
       graft.operators.DedupOps.bandedSignatures(day1), "minhash_store", tag = "day1")
     val (surv, updatedStore) = graft.operators.DedupOps.incrementalMinhashDedup(
