@@ -533,6 +533,92 @@ object SimilarityOps {
     rerank(fetched, k)
   }
 
+  // ------------------------------------------------------------------------
+  // Stored-index METADATA: the trained coarse centroids + PQ codebooks are
+  // part of the index — without them, [[writeIvfPq]] storage is queryable
+  // only by the session that trained them (a fresh session would have to
+  // RETRAIN, and retrained quantizers do not reproduce the stored codes).
+  // They persist as a parquet sidecar under `path/_index_meta` (leading
+  // underscore → invisible to the data scan, exactly like `_metadata`),
+  // versioned by a content hash so an ingest under the WRONG quantizers —
+  // whose codes would silently mis-rank against the stored ones — fails
+  // loudly instead.
+  // ------------------------------------------------------------------------
+
+  /** A stored index's quantizers, loaded back via [[readIndexMeta]]. */
+  final case class IvfPqMeta(index: IvfIndex,
+                             codebooks: Array[Array[Array[Double]]],
+                             version: String)
+
+  /** Content-derived index version: md5 over the exact centroid/codebook
+    * double BITS in canonical order — same quantizers ⇒ same version in any
+    * session/process; any retrain ⇒ a different one. */
+  def indexVersion(index: IvfIndex,
+                   codebooks: Array[Array[Array[Double]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def put(d: Double): Unit = {
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(buf.array())
+    }
+    md.update(s"ivf:${index.centroids.length}:".getBytes("UTF-8"))
+    index.centroids.foreach { c => md.update(s"${c.length};".getBytes("UTF-8")); c.foreach(put) }
+    md.update(s"pq:${codebooks.length}:".getBytes("UTF-8"))
+    codebooks.foreach { b =>
+      md.update(s"${b.length};".getBytes("UTF-8"))
+      b.foreach { c => md.update(s"${c.length};".getBytes("UTF-8")); c.foreach(put) }
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def metaDir(path: String) = s"$path/_index_meta"
+
+  /** Persist the quantizers next to the index (parquet keeps the doubles
+    * bit-exact; JSON text round-trips are where reconstruction drift comes
+    * from). One sidecar per index version — written by [[writeIvfPq]]. */
+  def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                     index: IvfIndex,
+                     codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    val ver = indexVersion(index, codebooks)
+    val rows: Seq[(String, Int, Int, Seq[Double])] =
+      index.centroids.zipWithIndex.toSeq.map { case (c, i) => ("centroid", i, -1, c.toSeq) } ++
+        codebooks.zipWithIndex.toSeq.flatMap { case (b, s) =>
+          b.zipWithIndex.toSeq.map { case (c, j) => ("codebook", s, j, c.toSeq) }
+        }
+    rows.toDF("kind", "s", "c", "values")
+      .withColumn("version", lit(ver))
+      .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
+  }
+
+  /** Load a stored index's quantizers — what makes [[writeIvfPq]] storage
+    * queryable from a FRESH session (no retraining; retrained quantizers
+    * would not reproduce the stored codes). Verifies the recorded version
+    * against a recomputation over the loaded values, so sidecar corruption
+    * surfaces here, not as silently wrong neighbors. */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): IvfPqMeta = {
+    val p = new org.apache.hadoop.fs.Path(metaDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no index metadata at ${metaDir(path)} — not writeIvfPq storage " +
+        "(or written by a pre-metadata version; rebuild with writeIvfPq)")
+    val rows = spark.read.parquet(p.toString).collect()
+    val version = rows.head.getAs[String]("version")
+    def vec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("values").toArray
+    val centroids = rows.filter(_.getAs[String]("kind") == "centroid")
+      .sortBy(_.getAs[Int]("s")).map(vec)
+    val codebooks = rows.filter(_.getAs[String]("kind") == "codebook")
+      .groupBy(_.getAs[Int]("s")).toArray.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getAs[Int]("c")).map(vec) }
+    val meta = IvfPqMeta(IvfIndex(centroids), codebooks, version)
+    val recomputed = indexVersion(meta.index, meta.codebooks)
+    require(recomputed == version,
+      s"index metadata at $path is corrupt: recorded version $version, content hashes to $recomputed")
+    meta
+  }
+
   /** Composed-tier STORAGE path: corpus written ONCE (as ingest batch 0)
     * partitioned by IVF list with the PQ codes AND the full vector in-file.
     * Columnar projection makes both tier reads cheap: ADC touches only the
@@ -540,27 +626,49 @@ object SimilarityOps {
     * re-reads only (vec_id, embedding) of the broadcast-small shortlist id
     * set. Layout: `path/batch_id=N/list_id=L/` — the batch level makes
     * incremental ingest ([[appendIvfPq]]) idempotent; list_id remains a
-    * partition column, so probe pruning is unaffected. */
+    * partition column, so probe pruning is unaffected. A FULL REBUILD:
+    * clears any existing index first (prior batches were coded under a
+    * possibly-different quantizer version and would silently mis-rank),
+    * then persists the quantizers as the versioned `_index_meta` sidecar
+    * ([[writeIndexMeta]]) so a fresh session can query and append without
+    * retraining. */
   def writeIvfPq(embeddings: DataFrame, index: IvfIndex,
-                 codebooks: Array[Array[Array[Double]]], path: String): Unit =
+                 codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = embeddings.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    writeIndexMeta(spark, path, index, codebooks)
     appendIvfPq(embeddings, index, codebooks, path, batchId = 0L)
+  }
 
   /** Incremental index INGEST: a new batch of vectors lands in existing
     * [[writeIvfPq]] storage — list assignment + PQ codes are computed for
     * the BATCH only; the historical index is never rewritten (the
     * daily-increment shape; retrain the coarse/PQ quantizers only when
-    * drift warrants a rebuild). IDEMPOTENT: each batch OVERWRITES its own
-    * `batch_id=N` subtree, so a retried/replayed ingest job rewrites
-    * instead of appending duplicate index rows (duplicate vec_ids would
-    * silently crowd genuine neighbors out of stored top-k results — the
-    * re-rank has no dedup because candidates are unique by construction). */
+    * drift warrants a rebuild — which is [[writeIvfPq]], a new version).
+    * ASSERTS the caller's quantizers match the stored index version: an
+    * append under retrained quantizers would interleave incomparable codes
+    * and silently corrupt every subsequent top-k. IDEMPOTENT: each batch
+    * OVERWRITES its own `batch_id=N` subtree, so a retried/replayed ingest
+    * job rewrites instead of appending duplicate index rows (duplicate
+    * vec_ids would silently crowd genuine neighbors out of stored top-k
+    * results — the re-rank has no dedup because candidates are unique by
+    * construction). */
   def appendIvfPq(newVectors: DataFrame, index: IvfIndex,
                   codebooks: Array[Array[Array[Double]]], path: String,
-                  batchId: Long): Unit =
+                  batchId: Long): Unit = {
+    val stored = readIndexMeta(newVectors.sparkSession, path)
+    val caller = indexVersion(index, codebooks)
+    require(stored.version == caller,
+      s"appendIvfPq under WRONG quantizers: index at $path is version " +
+        s"${stored.version}, caller supplied $caller — load them with " +
+        "readIndexMeta, or rebuild with writeIvfPq")
     withPqCodes(newVectors, codebooks)
       .withColumn("list_id", ivfListId(col("embedding"), index))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/batch_id=$batchId")
+  }
 
   /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
     * become STATIC partition filters (queries broadcast-small by contract),

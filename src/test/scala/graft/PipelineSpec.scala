@@ -813,6 +813,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 500, "replayed batch duplicated index rows")
   }
 
+  test("stored index metadata: fresh session queries writeIvfPq storage without retraining") {
+    import graft.operators.SimilarityOps
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i + 3)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val index = SimilarityOps.trainIvf(emb, nLists = 6)
+    val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
+    val path = "target/fixtures/ann_ivfpq_meta_" + System.nanoTime()
+    SimilarityOps.writeIvfPq(emb, index, books, path)
+    // what the stored index must reproduce (computed with the TRAINING
+    // session's in-memory quantizers)
+    val want = SimilarityOps.annTopKIvfPqExact(emb, queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qRows = queries.collect()
+
+    // FRESH session (new session state/catalog — the new-process shape):
+    // everything needed to query comes off disk, nothing is retrained
+    val fresh = spark.newSession()
+    val meta = SimilarityOps.readIndexMeta(fresh, path)
+    // quantizers round-trip BIT-exact (parquet doubles, not JSON text)
+    assert(meta.version == SimilarityOps.indexVersion(index, books))
+    assert(meta.index.centroids.length == index.centroids.length &&
+      meta.index.centroids.zip(index.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(meta.codebooks.length == books.length &&
+      meta.codebooks.zip(books).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val freshQueries = fresh.createDataFrame(
+      fresh.sparkContext.parallelize(qRows.toSeq), queries.schema)
+    val got = SimilarityOps.annTopKIvfPqStored(fresh, path, freshQueries,
+      meta.index, meta.codebooks, k = 3, nprobe = 3, shortlist = 20)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, "fresh-session stored query diverges from training-session results")
+
+    // append under the WRONG quantizers fails LOUDLY (interleaved
+    // incomparable codes would silently corrupt every subsequent top-k)
+    val retrained = SimilarityOps.pqCodebooks(m = 4, k = 8, subDim = 4, seed = 99L)
+    val more = spark.range(300, 320).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+        .as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.appendIvfPq(more, index, retrained, path, batchId = 1)
+    }
+    assert(ex.getMessage.contains("WRONG quantizers"), ex.getMessage)
+    // same-version append (quantizers loaded from the sidecar) still works
+    SimilarityOps.appendIvfPq(more, meta.index, meta.codebooks, path, batchId = 1)
+    assert(spark.read.parquet(path).count() == 320)
+    // and an append into a path with NO metadata is an explicit error, not
+    // a silent unversioned write
+    intercept[IllegalStateException] {
+      SimilarityOps.appendIvfPq(more, index, books,
+        "target/fixtures/ann_no_meta_" + System.nanoTime(), batchId = 0)
+    }
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
