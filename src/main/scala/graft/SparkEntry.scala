@@ -573,9 +573,10 @@ object SparkEntry {
     // repetition filter → stratified sample → redact, end to end — the
     // oracle replays the whole chain in DuckDB, value-checking the
     // COMPOSITION (stage order, survivor sets, per-stage semantics), not
-    // just the parts. (The minhash stage is oracle-gated separately via
-    // q_dedup_minhash/q_dedup_groups and skipped here: its recursive-CTE
-    // oracle at this corpus size would dominate the gate's runtime.)
+    // just the parts. (The minhash stage is skipped HERE because its
+    // recursive-CTE oracle is quadratic in this corpus size — the full
+    // six-stage composition including it is gated by q_hygiene_full below
+    // on the q_dedup_minhash-sized subset.)
     "q_hygiene" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 2000).select("doc_id", "lang", "text")
       val bench = d.filter(col("doc_id") % 41 === 0)
@@ -584,6 +585,28 @@ object SparkEntry {
       graft.operators.CorpusHygiene.clean(d, Some(bench),
         graft.operators.CorpusHygiene.HygieneConfig(
           nearDupThreshold = None,
+          maxDupTokenFrac = 0.68,
+          sampleRates = Map("en" -> 0.5, "de" -> 0.25), sampleDefaultRate = 0.1))
+        .select(col("doc_id"), col("lang"), col("text").as("redacted"))
+    }),
+
+    // --- COMPOSED hygiene WITH the minhash survivor stage — the full chain
+    // exact dedup → minhash survivors → decontaminate → repetition →
+    // sample → redact, value-checked end to end. Subset doc_id < 500 (the
+    // q_dedup_minhash bound): the oracle's pairwise-Jaccard + recursive-CTE
+    // reachability replay is quadratic in docs, and at threshold 0.5 with
+    // k=16/bands=16 (r=1) candidate recall is structural (P[miss | J>=0.5]
+    // = 0.5^16), so the realized survivor set equals the exact predicate
+    // DuckDB recomputes. q_hygiene keeps the larger-corpus composition gate
+    // for the other five stages.
+    "q_hygiene_full" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 500).select("doc_id", "lang", "text")
+      val bench = d.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(split(DedupOps.normText(col("text")), " "), 1, 12)).as("text"))
+      graft.operators.CorpusHygiene.clean(d, Some(bench),
+        graft.operators.CorpusHygiene.HygieneConfig(
+          nearDupThreshold = Some(0.5), minhashK = 16, minhashBands = 16,
           maxDupTokenFrac = 0.68,
           sampleRates = Map("en" -> 0.5, "de" -> 0.25), sampleDefaultRate = 0.1))
         .select(col("doc_id"), col("lang"), col("text").as("redacted"))
@@ -1302,6 +1325,74 @@ object SparkEntry {
          |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
          |FROM d3""".stripMargin,
+
+    // full hygiene chain INCLUDING the minhash survivor stage: same CTEs as
+    // q_hygiene plus the q_dedup_minhash pairwise-Jaccard predicate and the
+    // q_dedup_groups recursive reachability, replayed in ENGINE stage order
+    // (exact → minhash → decontaminate → repetition → sample → redact)
+    "q_hygiene_full" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 500),
+         |keep0 AS (SELECT min(doc_id) AS doc_id FROM raw
+         |          GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+         |d0 AS (SELECT raw.* FROM raw JOIN keep0 USING (doc_id)),
+         |tok AS (SELECT doc_id,
+         |          string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS toks
+         |        FROM raw),
+         |sh0 AS (SELECT tok.doc_id,
+         |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |               ELSE list_distinct(list_transform(range(1, len(toks)-1),
+         |                      i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+         |        FROM tok),
+         |s0 AS (SELECT sh0.* FROM sh0 JOIN d0 ON sh0.doc_id = d0.doc_id),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.doc_id AS a, y.doc_id AS b,
+         |      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+         |    FROM s0 x JOIN s0 y ON x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |        UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.doc_id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |nd_dropped AS (
+         |  SELECT doc_id FROM (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id)
+         |  WHERE doc_id <> keep_id),
+         |d1 AS (SELECT * FROM d0 WHERE doc_id NOT IN (SELECT doc_id FROM nd_dropped)),
+         |dsh AS (SELECT sh0.* FROM sh0 JOIN d1 ON sh0.doc_id = d1.doc_id),
+         |b0 AS (SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM tok WHERE doc_id % 41 = 0),
+         |bsh AS (SELECT bench_id,
+         |          CASE WHEN len(btoks) < 3 THEN [array_to_string(btoks, ' ')]
+         |               ELSE list_distinct(list_transform(range(1, len(btoks)-1),
+         |                      i -> array_to_string(btoks[i:i+2], ' '))) END AS sh
+         |        FROM b0),
+         |flagged AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM dsh d CROSS JOIN bsh b
+         |  WHERE len(list_intersect(d.sh, b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) >= 0.8),
+         |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |d3 AS (SELECT d2.* FROM d2 JOIN tok ON d2.doc_id = tok.doc_id
+         |       WHERE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) <= 0.68),
+         |h AS (SELECT doc_id, lang, text,
+         |        list_reduce(list_transform(range(1, 16),
+         |            i -> CAST(strpos('0123456789abcdef',
+         |                   substr(md5(CAST(doc_id AS VARCHAR) || 'graft-mix'), i, 1)) - 1 AS BIGINT)),
+         |          (acc, x) -> acc * 16 + x) AS h
+         |      FROM d3),
+         |d4 AS (SELECT doc_id, lang, text FROM h
+         |       WHERE h < CASE lang WHEN 'en' THEN ${TextOps.rateThreshold(0.5)}
+         |                           WHEN 'de' THEN ${TextOps.rateThreshold(0.25)}
+         |                           ELSE ${TextOps.rateThreshold(0.1)} END)
+         |SELECT doc_id, lang,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM d4""".stripMargin,
 
     "q_mention_detect" ->
       s"""WITH transcripts AS ($T),

@@ -18,15 +18,18 @@ import org.apache.spark.sql.functions._
  * stage decisions travel as doc_id sets through semi/anti joins or map-side
  * filters), and the dials ([[HygieneConfig]]). The q_hygiene oracle replays
  * the exact-dedup → decontaminate → repetition → sample → redact chain in
- * DuckDB, so the composition itself is value-checked, not just the parts.
+ * DuckDB, and q_hygiene_full replays all SIX stages (minhash survivors
+ * included) on a smaller subset — so the composition itself is
+ * value-checked, not just the parts.
  */
 object CorpusHygiene {
 
   /**
    * Stage dials. `None` on an Option dial skips its stage entirely — the
-   * skip is part of the contract (e.g. the oracle configuration skips the
-   * minhash stage, whose survivor set is already oracle-gated separately
-   * via q_dedup_groups).
+   * skip is part of the contract (e.g. the q_hygiene oracle configuration
+   * skips the minhash stage on its larger corpus; the full six-stage
+   * composition including it is value-checked by q_hygiene_full on the
+   * q_dedup_minhash-sized subset).
    *
    * @param maxDupTokenFrac drop docs whose duplicate-token fraction exceeds
    *   this (degenerate/looping text); 1.0 disables the filter
