@@ -101,7 +101,8 @@ object HygieneProbe {
     val t0 = System.nanoTime()
     val s1 = DedupOps.exactDedup(corpus).localCheckpoint(true)
     val n1 = s1.count()
-    val s2 = DedupOps.minhashSurvivors(s1, threshold, k = 16, bands = 8).localCheckpoint(true)
+    val mh = graft.operators.Dials.minhash(threshold) // r=2 production dial at J=0.7
+    val s2 = DedupOps.minhashSurvivors(s1, threshold, k = mh.k, bands = mh.bands).localCheckpoint(true)
     val n2 = s2.count()
     val flagged = DedupOps.contamination(s2, bench, n = 3, minFrac = 0.8)
       .select("doc_id").distinct()
@@ -139,7 +140,7 @@ object HygieneProbe {
     // ---- composition check: clean() end-to-end == stepwise replay --------
     val cleaned = CorpusHygiene.clean(corpus, Some(bench),
       CorpusHygiene.HygieneConfig(
-        nearDupThreshold = Some(threshold), minhashK = 16, minhashBands = 8,
+        nearDupThreshold = Some(threshold), minhashK = mh.k, minhashBands = mh.bands,
         decontaminateMinFrac = Some(0.8), maxDupTokenFrac = 0.68,
         sampleRates = rates, sampleDefaultRate = 0.1, redact = true))
     def sig(df: DataFrame): (Long, Long) = {

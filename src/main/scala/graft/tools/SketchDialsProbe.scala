@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, Dials}
 
 /**
  * Scale-validation of the sketch dials (round-3 verdict item 2): every
@@ -111,7 +111,14 @@ object SketchDialsProbe {
     val positives = exact.filter(col("j") >= threshold).localCheckpoint(true)
     val nPos = positives.count()
 
-    val dialCands = Seq((16, 16), (16, 8), (16, 4)).map { case (k, bands) =>
+    // the dial LADDER comes from the executable derivation: each rung is
+    // Dials.minhash at the Jaccard threshold that selects it (0.5 -> r=1
+    // oracle dial, 0.7 -> r=2 production dial, 0.85 -> r=4 aggressive) —
+    // the probe measures what the derivation promises
+    val dialCands = Seq(0.5, 0.7, 0.85)
+      .map(j => Dials.minhash(j))
+      .map(d => (d.k, d.bands))
+      .map { case (k, bands) =>
       val t0 = System.nanoTime()
       val cand = DedupOps.minhashCandidates(docs, k, bands).localCheckpoint(true)
       val nCand = cand.count()
@@ -156,7 +163,7 @@ object SketchDialsProbe {
     // log2(corpus), exactly the scaling rule IMPLEMENTATION.md documents
     val sigs = docs.select(col("doc_id"), DedupOps.simhash(col("text")).as("sig"))
       .localCheckpoint(true)
-    val maxH = 3
+    val maxH = Dials.simhashMaxHamming(nBase + nDup) // 3 at the 50k scale
     val simExact = planted
       .join(sigs.withColumnRenamed("doc_id", "a").withColumnRenamed("sig", "sig_a"), "a")
       .join(sigs.withColumnRenamed("doc_id", "b").withColumnRenamed("sig", "sig_b"), "b")
@@ -176,7 +183,8 @@ object SketchDialsProbe {
     // sf0.1 default 8): 8-char windows over a 5k-word vocabulary repeat
     // across most of a 50k-doc corpus — hot-fingerprint buckets, another
     // instance of the same grow-the-dial-with-the-corpus rule
-    val winK = 16; val winW = 8
+    val winDials = Dials.winnowing(nBase + nDup) // (16, 8, 0.35) at 50k
+    val winK = winDials.k; val winW = winDials.w
     val fps = docs.select(col("doc_id"),
       array_distinct(DedupOps.winnowingSketch(col("text"), winK, winW)).as("fp"))
       .localCheckpoint(true)
@@ -186,12 +194,12 @@ object SketchDialsProbe {
       .select(col("a"), col("b"),
         size(array_intersect(col("fp_a"), col("fp_b"))).as("shared"),
         least(size(col("fp_a")), size(col("fp_b"))).as("min_fp"))
-      .filter(col("shared") >= greatest(lit(3), ceil(col("min_fp") * 0.35)))
+      .filter(col("shared") >= greatest(lit(3), ceil(col("min_fp") * winDials.minSharedFrac)))
       .localCheckpoint(true)
     val nWinPos = winExact.count()
     val tWin = System.nanoTime()
     val winPairs = DedupOps.winnowingNearDuplicates(docs, minShared = 3, k = winK, w = winW,
-      minSharedFrac = Some(0.35)).localCheckpoint(true)
+      minSharedFrac = Some(winDials.minSharedFrac)).localCheckpoint(true)
     val nWinPairs = winPairs.count()
     val winSec = (System.nanoTime() - tWin) / 1e9
     val winHit = winExact.join(winPairs.select("a", "b"), Seq("a", "b"), "left_semi").count()
@@ -211,7 +219,9 @@ object SketchDialsProbe {
       .localCheckpoint(true)
     val vPos = vExact.filter(col("cos") >= 0.95).localCheckpoint(true)
     val nVPos = vPos.count()
-    val embResults = Seq(16, 20).map { planes =>
+    // derived dial (log2+4 slack = 20 at 50k) measured against the
+    // base-log2 rung below it, quantifying what the slack buys
+    val embResults = Seq(Dials.embeddingPlanes(nVec) - 4, Dials.embeddingPlanes(nVec)).map { planes =>
       val t0 = System.nanoTime()
       val cand = DedupOps.embeddingCandidates(emb, planes).localCheckpoint(true)
       val nCand = cand.count()

@@ -892,6 +892,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_hash"))
   }
 
+  // ---------------- dial derivation ----------------
+
+  test("deriveDials: 50k-doc outputs pin to the BASELINE-validated probe records") {
+    import graft.operators.Dials
+    // minhash banding ladder — exactly the measured SketchDialsProbe rungs:
+    // r=1 (oracle, recall 1.0 structural), r=2 (production, measured
+    // 0.9983 at J>=0.7), r=4 (aggressive, J>=0.85 only)
+    assert(Dials.minhash(0.5) == Dials.MinhashDials(16, 16))
+    assert(Dials.minhash(0.7) == Dials.MinhashDials(16, 8))
+    assert(Dials.minhash(0.8) == Dials.MinhashDials(16, 8)) // the HygieneConfig default
+    assert(Dials.minhash(0.85) == Dials.MinhashDials(16, 4))
+    // theory recall at each selected rung clears the floor AT its threshold
+    for (j <- Seq(0.5, 0.7, 0.8, 0.85)) {
+      val d = Dials.minhash(j)
+      assert(Dials.minhashTheoryRecall(j, d.r, d.bands) >= Dials.MinhashRecallFloor)
+    }
+    // simhash: every recorded point, incl. the REFUSED failure configuration
+    assert(Dials.simhashMaxHamming(55000L, requested = 6) == 3,
+      "maxH=6 at 50k docs is the measured executor-OOM configuration — must cap to 3")
+    assert(Dials.simhashMaxHamming(5000L, requested = 6) == 4) // sf0.1 gate dial
+    assert(Dials.simhashMaxHamming(500L, requested = 4) == 4)  // q_dedup_simhash uncapped
+    assert(Dials.simhashCap(500L) == 7)
+    // block width at the cap stays >= log2(corpus) - 1 across six decades
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L, 10000000000L)) {
+      val blocks = Dials.simhashCap(n) + 1
+      val need = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 1
+      assert(64 / blocks >= need, s"n=$n blocks=$blocks width=${64 / blocks} need=$need")
+    }
+    // winnowing: 50k record (k=16, w=8, frac 0.35); k grows with log2(corpus)
+    assert(Dials.winnowing(55000L) == Dials.WinnowDials(16, 8, 0.35))
+    assert(Dials.winnowing(1000L) == Dials.WinnowDials(10, 5, 0.35))
+    assert(Dials.winnowing(1000000000L).k == 30)
+    // embedding LSH: 50k record planes=20 (log2 + 4 slack, the measured
+    // 7.4x-fewer-candidates dial); monotone in corpus size
+    assert(Dials.embeddingPlanes(55000L) == 20)
+    assert(Dials.embeddingPlanes(500L) == 13)
+    assert(Dials.embeddingPlanes(1000000000L) == 34)
+  }
+
   // ---------------- incremental-dedup store layout ----------------
 
   test("bucketed signature store: per-batch band join adds NO store-side exchange") {
