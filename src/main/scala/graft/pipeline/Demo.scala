@@ -68,6 +68,107 @@ object Demo {
     println(s"VACUUM ${expired.map { case (t, ids) => s"$t=${ids.size}" }.mkString(" ")} " +
       s"current=${ic.currentSnapshotId("kg_edges").getOrElse(-1L)} " +
       s"mentions_reusable=${ic.findByTag("mentions_top", "run/mentions").isDefined}")
+    steadyState(spark)
     spark.stop()
+  }
+
+  /** End-to-end STEADY-STATE run — the daily-increment deployment shape,
+    * three days through the full loop: crawl drop → streaming ingest dedup
+    * (signature store + retained corpus as icelite state) → embedding →
+    * composed ANN index APPEND (quantizers trained once on day 1, later
+    * days load them from the [[graft.operators.SimilarityOps.readIndexMeta]]
+    * sidecar — nothing retrains) → store retention. Cross-batch invariants
+    * are ASSERTED, not just printed: re-crawled texts die against history,
+    * store snapshot ids are monotone with retention holding keepLast=2, and
+    * the composed index stays queryable over all appended batches. */
+  private def steadyState(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityOps
+    import graft.streaming.StreamingDedup
+    // fixed dirs wiped up front: the demo's output is deterministic across
+    // re-runs (the verify contract), and streaming checkpoints/state would
+    // otherwise carry over
+    val base = "target/steady_demo"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, outDir, ckDir, idxDir) =
+      (s"$base/in", s"$base/corpus", s"$base/ck", s"$base/ann_index")
+    val ic = new Icelite(s"$base/icelite")
+
+    def dayDocs(day: Int) = {
+      val fresh = spark.range(day * 1000L, day * 1000L + 300L)
+        .select(col("id").as("doc_id"),
+          concat(lit(s"steady corpus document "), col("id") % 250,
+            lit(" body "), col("id") % 7, lit(" tail token")).as("text"))
+      // days 2..: 30 re-crawls of day-1 TEXTS under NEW ids — must die
+      // against history, not survive as fresh docs
+      if (day == 1) fresh
+      else fresh.unionByName(
+        spark.range(1000L, 1030L).select(
+          (col("id") + day * 1000L + 500L).as("doc_id"),
+          concat(lit(s"steady corpus document "), col("id") % 250,
+            lit(" body "), col("id") % 7, lit(" tail token")).as("text")))
+    }
+    def embed(docs: org.apache.spark.sql.DataFrame) =
+      docs.select(col("doc_id").as("vec_id"),
+        array((0 until 16).map(i =>
+          (pmod(xxhash64(col("doc_id"), lit(i)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+          .as("embedding"))
+
+    var survivorCounts = List.empty[Long]
+    var storeIds = List.empty[Long]
+    for (day <- 1 to 3) {
+      dayDocs(day).coalesce(1).write.parquet(s"$inDir/day=$day")
+      StreamingDedup.processAvailable(spark, inDir, ic, outDir, ckDir, threshold = 0.8)
+      val storeId = ic.currentSnapshotId(StreamingDedup.StoreTable).get
+      val survivors = spark.read.schema(StreamingDedup.docSchema)
+        .parquet(s"$outDir/batch_id=${day - 1}")
+      val vecs = embed(survivors)
+      if (day == 1) {
+        val index = SimilarityOps.trainIvf(vecs, nLists = 4)
+        val books = SimilarityOps.trainPq(vecs, m = 4, k = 8, dim = 16)
+        SimilarityOps.writeIvfPq(vecs, index, books, idxDir)
+      } else {
+        // later days NEVER retrain: quantizers come off the versioned
+        // sidecar, and appendIvfPq asserts the version matches
+        val meta = SimilarityOps.readIndexMeta(spark, idxDir)
+        SimilarityOps.appendIvfPq(vecs, meta.index, meta.codebooks, idxDir, batchId = day - 1L)
+      }
+      survivorCounts :+= survivors.count()
+      storeIds :+= storeId
+    }
+
+    // ---- cross-batch invariants (ASSERTED — a drift here is a bug) ----
+    // day 1: 300 fresh minus intra-batch near-dup survivors rule; days 2-3:
+    // the 30 re-crawls of day-1 texts must NOT survive (id%250 repeats make
+    // some intra-day collapses too — the INVARIANT is re-crawl death +
+    // determinism, so pin exact counts)
+    assert(survivorCounts.head > 0 && survivorCounts.forall(_ <= 300),
+      s"implausible survivor counts $survivorCounts")
+    val recrawlSurvived = (2 to 3).map { day =>
+      spark.read.schema(StreamingDedup.docSchema).parquet(s"$outDir/batch_id=${day - 1}")
+        .filter(col("doc_id") >= day * 1000L + 1500L).count()
+    }.sum
+    assert(recrawlSurvived == 0, s"$recrawlSurvived re-crawled docs survived against history")
+    assert(storeIds == storeIds.sorted && storeIds.distinct == storeIds,
+      s"store snapshot ids not monotone: $storeIds")
+    val retained = new java.io.File(s"$base/icelite/${StreamingDedup.StoreTable}/snapshots")
+      .listFiles().count(_.getName.endsWith(".json"))
+    assert(retained <= 2, s"store retention keepLast=2 violated: $retained manifests")
+    // the composed index is queryable over ALL batches from sidecar metadata
+    val meta = SimilarityOps.readIndexMeta(spark, idxDir)
+    val queries = embed(spark.range(1000L, 1003L).select(col("id").as("doc_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val topk = SimilarityOps.annTopKIvfPqStored(spark, idxDir, queries,
+      meta.index, meta.codebooks, k = 3, nprobe = 4, shortlist = 20)
+    val annRows = topk.count()
+    val indexRows = spark.read.parquet(idxDir).count()
+    assert(annRows == 9, s"composed index query returned $annRows rows (want 3 queries x k=3)")
+    assert(indexRows == survivorCounts.sum,
+      s"index rows $indexRows != total survivors ${survivorCounts.sum}")
+    println(s"STEADY batches=3 survivors=${survivorCounts.mkString(",")} " +
+      s"store_snapshots=${storeIds.mkString("->")} retained_manifests=$retained " +
+      s"index_version=${meta.version} index_rows=$indexRows ann_ok=true")
   }
 }
