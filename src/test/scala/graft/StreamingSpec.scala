@@ -198,6 +198,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts == 0, "duplicate texts survived streaming ingest dedup")
   }
 
+  test("streaming ingest dedup: an ALL-duplicate batch (zero survivors) doesn't wedge history") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdedup_empty").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ic = new graft.icelite.Icelite(s"$base/ic")
+    val docs = graft.tools.SketchDialsProbe.syntheticDocs(spark, 60, 0).localCheckpoint(true)
+
+    docs.filter(col("doc_id") < 30).write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+
+    // wave 2 is ENTIRELY re-crawls: every doc dies against history, its
+    // batch_id= partition is a zero-row bucketed table — the corner where a
+    // naive history read (schema inference over an empty dir) would throw
+    // on every later batch and wedge the ingest permanently
+    docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2000).as("doc_id"), col("text"))
+      .write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    assert(spark.read.schema(StreamingDedup.docSchema).parquet(out).count() == 30,
+      "all-duplicate batch must add zero survivors")
+    // store unchanged: zero survivors contribute zero band rows
+    assert(ic.readSnapshot(spark, StreamingDedup.StoreTable).count() == 30L * 4)
+
+    // wave 3 reads history INCLUDING the empty batch partition: new docs
+    // survive, re-crawls still die — nothing wedged, nothing resurrected
+    docs.filter(col("doc_id").between(40, 49))
+      .unionByName(Seq((3000L, docs.filter(col("doc_id") === 3L)
+        .collect().head.getString(1))).toDF("doc_id", "text"))
+      .write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    val finalIds = spark.read.schema(StreamingDedup.docSchema).parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == (0L until 30L).toSet ++ (40L to 49L).toSet, s"got ${finalIds.size} ids")
+  }
+
   test("incremental sink is idempotent under batch REPLAY (at-least-once foreachBatch)") {
     import org.apache.spark.sql.functions.lit
     val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
