@@ -486,6 +486,20 @@ object SparkEntry {
         .select("query_id", "vec_id", "cos", "rank")
     }),
 
+    // --- IVF index DRIFT signal ("retrain only when drift warrants" as an
+    // executable per-row frame, not prose): nearest-centroid assignment plus
+    // the exact squared-L2 distance to it, against DETERMINISTIC oracle
+    // centroids ([[SimilarityOps.ivfCentroidsOracle]]). The oracle inlines
+    // the same centroid literals and mirrors the CentroidIds kernel's
+    // dim-order left-assoc double sums and first-min tie rule, so every
+    // distance is value-checked. ivfDrift's mean/p95 over these rows (and
+    // the rebuild dial) is covered by PipelineSpec's drift tests.
+    "q_ann_drift" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      SimilarityOps.assignDistances(emb,
+        SimilarityOps.IvfIndex(SimilarityOps.ivfCentroidsOracle()))
+    }),
+
     // --- data mixing: deterministic stratified sampling — the oracle
     // recomputes the EXACT sample (portable md5-derived row hash + integer
     // thresholds inlined on both sides; no RNG, no double→long divergence)
@@ -743,6 +757,25 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** q_ann_drift oracle: squared-L2 distances to the EXACT
+    * [[SimilarityOps.ivfCentroidsOracle]] literals (Scala Double.toString
+    * round-trips bit-exact through DuckDB's parser), summed in the kernel's
+    * left-assoc dim order; first-min assignment via
+    * list_position(list_min) — the same tie rule as CentroidIds. */
+  private def annDriftSql: String = {
+    val dList = graft.operators.SimilarityOps.ivfCentroidsOracle().map { cen =>
+      cen.zipWithIndex.map { case (c, i) =>
+        s"((v[${i + 1}]::DOUBLE - $c) * (v[${i + 1}]::DOUBLE - $c))"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |a AS (SELECT vec_id, $dList AS d FROM e)
+       |SELECT vec_id,
+       |       CAST(list_position(d, list_min(d)) - 1 AS INT) AS list_id,
+       |       round(d[list_position(d, list_min(d))], 6) AS dist
+       |FROM a""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_adc" -> pqAdcOracleSql,
@@ -750,6 +783,8 @@ object SparkEntry {
     // all-lists + unbounded-shortlist composition ≡ exact brute force (see
     // the query comment) — the SAME reference SQL by construction
     "q_ann_ivf_pq" -> bruteForceTopKSql,
+
+    "q_ann_drift" -> annDriftSql,
     "q_compress_iri" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'EXD:' || CAST(doc_id AS VARCHAR)

@@ -545,10 +545,17 @@ object SimilarityOps {
   // loudly instead.
   // ------------------------------------------------------------------------
 
-  /** A stored index's quantizers, loaded back via [[readIndexMeta]]. */
+  /** Assignment-distance stats over a (sampled) vector set: the index's
+    * fit to a distribution, comparable across batches ([[ivfDrift]]). */
+  final case class AssignStats(meanDist: Double, p95Dist: Double, n: Long)
+
+  /** A stored index's quantizers, loaded back via [[readIndexMeta]];
+    * `trainStats` = [[assignStats]] of the training corpus at build time
+    * (None only for indexes written before drift detection existed). */
   final case class IvfPqMeta(index: IvfIndex,
                              codebooks: Array[Array[Array[Double]]],
-                             version: String)
+                             version: String,
+                             trainStats: Option[AssignStats] = None)
 
   /** Content-derived index version: md5 over the exact centroid/codebook
     * double BITS in canonical order — same quantizers ⇒ same version in any
@@ -573,19 +580,91 @@ object SimilarityOps {
 
   private def metaDir(path: String) = s"$path/_index_meta"
 
+  // ------------------------------------------------------------------------
+  // Index DRIFT detection — "retrain only when drift warrants a rebuild" as
+  // an executable signal, not prose: the sidecar records the training
+  // corpus's assignment-distance stats, and each ingest batch compares its
+  // own stats against them. One narrow scan over a hash-capped sample per
+  // check — O(sample), never corpus-sized.
+  // ------------------------------------------------------------------------
+
+  /** Deterministic pseudo-random coarse centroids — the ORACLE configuration
+    * for [[assignDistances]] (the q_ann_drift SQL inlines exactly these
+    * literals; production centroids come from [[trainIvf]]). */
+  def ivfCentroidsOracle(nLists: Int = 8, dim: Int = 64,
+                         seed: Long = 11L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nLists)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** `(vec_id, list_id, dist)`: nearest-centroid assignment plus the exact
+    * squared-L2 distance to it, rounded to 6. The distance arithmetic
+    * mirrors the [[graft.functions.CentroidIds]] kernel exactly (sequential
+    * dim-order accumulation, first-min ties), so the oracle can recompute
+    * every row: zip_with/aggregate fold left like the kernel's `while` sum,
+    * and `0.0 + x₁ = x₁` exactly in IEEE. Embedding and centroid are staged
+    * through projections BEFORE the lambdas (the HOF-CSE rule). */
+  def assignDistances(embeddings: DataFrame, index: IvfIndex): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        ivfListId(col("embedding"), index).as("list_id"))
+      .withColumn("cen",
+        element_at(typedLit(index.centroids.map(_.toSeq).toSeq), col("list_id") + 1))
+      .select(col("vec_id"), col("list_id"),
+        round(aggregate(zip_with(col("v"), col("cen"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x), 6).as("dist"))
+
+  /** Mean + p95 assignment distance over a hash-capped sample (the
+    * [[trainIvf]] sampling rule: distribution SHAPE, uniform in vec_id). */
+  def assignStats(embeddings: DataFrame, index: IvfIndex,
+                  maxRows: Long = 100000L, seed: Long = 42L): AssignStats = {
+    val row = assignDistances(hashCappedSample(embeddings, maxRows, seed), index)
+      .agg(avg(col("dist")), expr("percentile(dist, 0.95)"), count(lit(1)))
+      .collect().head
+    require(row.getLong(2) > 0, "assignStats over an empty vector set")
+    AssignStats(row.getDouble(0), row.getDouble(1), row.getLong(2))
+  }
+
+  /** Batch-vs-training drift: ratios of the batch's assignment-distance
+    * stats to the training-time stats recorded in the index sidecar.
+    * `rebuildRecommended` when either ratio clears its dial — a batch the
+    * coarse quantizer fits as well as the training corpus keeps appending
+    * codes that rank comparably; one it fits much worse is the signal that
+    * appended codes are degrading (mean = whole-distribution shift, p95 =
+    * a drifted subpopulation the mean would dilute). */
+  final case class DriftReport(batch: AssignStats, train: AssignStats,
+                               meanRatio: Double, p95Ratio: Double,
+                               rebuildRecommended: Boolean)
+
+  def ivfDrift(newVectors: DataFrame, meta: IvfPqMeta,
+               meanRatioMax: Double = 1.25, p95RatioMax: Double = 1.5): DriftReport = {
+    val train = meta.trainStats.getOrElse(throw new IllegalStateException(
+      "index metadata carries no training assignment stats " +
+        "(pre-drift-detection index) — rebuild with writeIvfPq to enable ivfDrift"))
+    val batch = assignStats(newVectors, meta.index)
+    val mr = batch.meanDist / train.meanDist
+    val pr = batch.p95Dist / train.p95Dist
+    DriftReport(batch, train, mr, pr, mr > meanRatioMax || pr > p95RatioMax)
+  }
+
   /** Persist the quantizers next to the index (parquet keeps the doubles
     * bit-exact; JSON text round-trips are where reconstruction drift comes
     * from). One sidecar per index version — written by [[writeIvfPq]]. */
   def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
                      index: IvfIndex,
-                     codebooks: Array[Array[Array[Double]]]): Unit = {
+                     codebooks: Array[Array[Array[Double]]],
+                     trainStats: Option[AssignStats] = None): Unit = {
     import spark.implicits._
     val ver = indexVersion(index, codebooks)
     val rows: Seq[(String, Int, Int, Seq[Double])] =
       index.centroids.zipWithIndex.toSeq.map { case (c, i) => ("centroid", i, -1, c.toSeq) } ++
         codebooks.zipWithIndex.toSeq.flatMap { case (b, s) =>
           b.zipWithIndex.toSeq.map { case (c, j) => ("codebook", s, j, c.toSeq) }
-        }
+        } ++
+        // auxiliary, NOT part of the version hash: stats describe the
+        // training corpus, the version identifies the quantizers
+        trainStats.toSeq.map(st =>
+          ("stat", 0, -1, Seq(st.meanDist, st.p95Dist, st.n.toDouble)))
     rows.toDF("kind", "s", "c", "values")
       .withColumn("version", lit(ver))
       .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
@@ -612,7 +691,9 @@ object SimilarityOps {
     val codebooks = rows.filter(_.getAs[String]("kind") == "codebook")
       .groupBy(_.getAs[Int]("s")).toArray.sortBy(_._1)
       .map { case (_, rs) => rs.sortBy(_.getAs[Int]("c")).map(vec) }
-    val meta = IvfPqMeta(IvfIndex(centroids), codebooks, version)
+    val trainStats = rows.find(_.getAs[String]("kind") == "stat").map(vec)
+      .map(v => AssignStats(v(0), v(1), v(2).toLong))
+    val meta = IvfPqMeta(IvfIndex(centroids), codebooks, version, trainStats)
     val recomputed = indexVersion(meta.index, meta.codebooks)
     require(recomputed == version,
       s"index metadata at $path is corrupt: recorded version $version, content hashes to $recomputed")
@@ -638,7 +719,10 @@ object SimilarityOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
-    writeIndexMeta(spark, path, index, codebooks)
+    // training-time assignment stats ride along so every later ingest batch
+    // can run [[ivfDrift]] against them
+    writeIndexMeta(spark, path, index, codebooks,
+      trainStats = Some(assignStats(embeddings, index)))
     appendIvfPq(embeddings, index, codebooks, path, batchId = 0L)
   }
 

@@ -77,7 +77,9 @@ object Demo {
     * (signature store + retained corpus as icelite state) → embedding →
     * composed ANN index APPEND (quantizers trained once on day 1, later
     * days load them from the [[graft.operators.SimilarityOps.readIndexMeta]]
-    * sidecar — nothing retrains) → store retention. Cross-batch invariants
+    * sidecar and pass the [[graft.operators.SimilarityOps.ivfDrift]] gate —
+    * nothing retrains unless drift warrants it) → store retention.
+    * Cross-batch invariants
     * are ASSERTED, not just printed: re-crawled texts die against history,
     * store snapshot ids are monotone with retention holding keepLast=2, and
     * the composed index stays queryable over all appended batches. */
@@ -118,6 +120,7 @@ object Demo {
 
     var survivorCounts = List.empty[Long]
     var storeIds = List.empty[Long]
+    var driftRatios = List.empty[Double]
     for (day <- 1 to 3) {
       dayDocs(day).coalesce(1).write.parquet(s"$inDir/day=$day")
       StreamingDedup.processAvailable(spark, inDir, ic, outDir, ckDir, threshold = 0.8)
@@ -130,9 +133,16 @@ object Demo {
         val books = SimilarityOps.trainPq(vecs, m = 4, k = 8, dim = 16)
         SimilarityOps.writeIvfPq(vecs, index, books, idxDir)
       } else {
-        // later days NEVER retrain: quantizers come off the versioned
-        // sidecar, and appendIvfPq asserts the version matches
+        // later days NEVER retrain blindly: quantizers come off the
+        // versioned sidecar, the batch is DRIFT-CHECKED against the
+        // training stats the sidecar carries (same distribution ⇒ append; a
+        // drifted drop would recommend rebuild instead of silently letting
+        // appended codes degrade), and appendIvfPq asserts the version
         val meta = SimilarityOps.readIndexMeta(spark, idxDir)
+        val drift = SimilarityOps.ivfDrift(vecs, meta)
+        assert(!drift.rebuildRecommended,
+          s"day $day is drawn from the training distribution yet flagged drift: $drift")
+        driftRatios :+= drift.meanRatio
         SimilarityOps.appendIvfPq(vecs, meta.index, meta.codebooks, idxDir, batchId = day - 1L)
       }
       survivorCounts :+= survivors.count()
@@ -169,6 +179,7 @@ object Demo {
       s"index rows $indexRows != total survivors ${survivorCounts.sum}")
     println(s"STEADY batches=3 survivors=${survivorCounts.mkString(",")} " +
       s"store_snapshots=${storeIds.mkString("->")} retained_manifests=$retained " +
-      s"index_version=${meta.version} index_rows=$indexRows ann_ok=true")
+      s"index_version=${meta.version} index_rows=$indexRows ann_ok=true " +
+      f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")}")
   }
 }

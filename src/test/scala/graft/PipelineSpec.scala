@@ -874,6 +874,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("index drift: sidecar stats round-trip; same-distribution batch passes, shifted batch trips") {
+    import graft.operators.SimilarityOps
+    def mkEmb(from: Int, until: Int, shift: Float) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        array((0 until 16).map(i =>
+          (pmod(xxhash64(col("id"), lit(i + 5)), lit(1000)).cast("float") / 500.0f - 1.0f
+            + lit(shift))): _*).as("embedding"))
+    val emb = mkEmb(0, 300, 0.0f)
+    val index = SimilarityOps.trainIvf(emb, nLists = 6)
+    val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
+    val path = "target/fixtures/ann_drift_" + System.nanoTime()
+    SimilarityOps.writeIvfPq(emb, index, books, path)
+
+    // training stats ride the sidecar and round-trip
+    val meta = SimilarityOps.readIndexMeta(spark, path)
+    val want = SimilarityOps.assignStats(emb, index)
+    assert(meta.trainStats.contains(want),
+      s"sidecar stats ${meta.trainStats} != recomputed $want")
+
+    // a batch FROM the training distribution: ratios ~1, no rebuild signal
+    val same = SimilarityOps.ivfDrift(mkEmb(300, 500, 0.0f), meta)
+    assert(!same.rebuildRecommended, same.toString)
+    assert(same.meanRatio > 0.5 && same.meanRatio < 1.25, same.toString)
+
+    // a SHIFTED batch the quantizer no longer fits: rebuild recommended
+    val shifted = SimilarityOps.ivfDrift(mkEmb(300, 500, 2.5f), meta)
+    assert(shifted.rebuildRecommended, shifted.toString)
+    assert(shifted.meanRatio > same.meanRatio, s"$shifted vs $same")
+
+    // an index written before drift detection existed fails LOUDLY, not
+    // with a fabricated baseline
+    val legacy = "target/fixtures/ann_drift_legacy_" + System.nanoTime()
+    SimilarityOps.writeIndexMeta(spark, legacy, index, books)
+    val ex = intercept[IllegalStateException] {
+      SimilarityOps.ivfDrift(emb, SimilarityOps.readIndexMeta(spark, legacy))
+    }
+    assert(ex.getMessage.contains("no training assignment stats"), ex.getMessage)
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
