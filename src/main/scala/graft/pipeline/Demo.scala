@@ -177,9 +177,36 @@ object Demo {
     assert(annRows == 9, s"composed index query returned $annRows rows (want 3 queries x k=3)")
     assert(indexRows == survivorCounts.sum,
       s"index rows $indexRows != total survivors ${survivorCounts.sum}")
+
+    // steady-state MAINTENANCE: fold the three daily appends into one
+    // subtree per list (the small-files dial — probe cost must stay
+    // bytes-bound, not files-opened-bound, after months of daily appends).
+    // The fold must not change a single query result, must not lose a row,
+    // and a replay of a folded batch must be REFUSED (its per-batch
+    // overwrite idempotence no longer covers it).
+    val beforeFold = topk.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val foldedThrough = SimilarityOps.compactIvfPq(spark, idxDir)
+    assert(foldedThrough == 2L, s"compacted through $foldedThrough, want 2")
+    val batchDirs = new java.io.File(idxDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs == 1, s"$batchDirs batch dirs remain after compaction")
+    val afterFold = SimilarityOps.annTopKIvfPqStored(spark, idxDir, queries,
+      meta.index, meta.codebooks, k = 3, nprobe = 4, shortlist = 20)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterFold == beforeFold, "compaction changed stored-index query results")
+    assert(spark.read.parquet(idxDir).count() == indexRows,
+      "compaction lost or duplicated index rows")
+    val replayRefused = scala.util.Try(
+      SimilarityOps.appendIvfPq(embed(spark.range(1L).select(col("id").as("doc_id"))),
+        meta.index, meta.codebooks, idxDir, batchId = 1L)).isFailure
+    assert(replayRefused, "replay of a compaction-folded batch id was accepted")
+
     println(s"STEADY batches=3 survivors=${survivorCounts.mkString(",")} " +
       s"store_snapshots=${storeIds.mkString("->")} retained_manifests=$retained " +
       s"index_version=${meta.version} index_rows=$indexRows ann_ok=true " +
-      f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")}")
+      f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")} " +
+      s"compacted_through=$foldedThrough")
   }
 }

@@ -913,6 +913,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no training assignment stats"), ex.getMessage)
   }
 
+  test("index compaction: folds batches into one subtree per list, identical results, folded replay refused") {
+    import graft.operators.SimilarityOps
+    def mkEmb(from: Int, until: Int, salt: Int) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        array((0 until 16).map(i =>
+          (pmod(xxhash64(col("id"), lit(i + salt)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+          .as("embedding"))
+    val emb = mkEmb(0, 300, 0)
+    val index = SimilarityOps.trainIvf(emb, nLists = 6)
+    val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
+    val path = "target/fixtures/ann_compact_" + System.nanoTime()
+    SimilarityOps.writeIvfPq(emb, index, books, path)                       // batch 0
+    SimilarityOps.appendIvfPq(mkEmb(300, 400, 7), index, books, path, batchId = 1)
+    SimilarityOps.appendIvfPq(mkEmb(400, 450, 11), index, books, path, batchId = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def key() = SimilarityOps.annTopKIvfPqStored(spark, path, queries, index, books,
+      k = 3, nprobe = 3, shortlist = 20)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    def batchDirs() = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val want = key()
+    val filesBefore = dataFiles()
+    assert(batchDirs() == 3)
+
+    assert(SimilarityOps.compactIvfPq(spark, path) == 2L)
+    assert(batchDirs() == 1, "compaction left multiple batch subtrees")
+    assert(dataFiles() < filesBefore,
+      s"compaction did not reduce file count ($filesBefore -> ${dataFiles()})")
+    assert(key() == want, "compaction changed stored-index query results")
+    assert(spark.read.parquet(path).count() == 450, "compaction lost/duplicated rows")
+
+    // a replay of a FOLDED batch id must fail loudly — its per-batch
+    // overwrite no longer covers the folded subtree, so a silent accept
+    // would duplicate every row of that batch
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.appendIvfPq(mkEmb(400, 450, 11), index, books, path, batchId = 2)
+    }
+    assert(ex.getMessage.contains("already folded"), ex.getMessage)
+
+    // appends ABOVE the watermark continue; a second compaction folds them
+    SimilarityOps.appendIvfPq(mkEmb(450, 500, 13), index, books, path, batchId = 3)
+    assert(SimilarityOps.compactIvfPq(spark, path) == 3L)
+    assert(batchDirs() == 1 && spark.read.parquet(path).count() == 500)
+    // compacting an already-compact index is a no-op that keeps the watermark
+    assert(SimilarityOps.compactIvfPq(spark, path) == 3L)
+  }
+
+  test("index compaction crash safety: pre-commit failure discards staging, post-commit rerun finishes the swap") {
+    import graft.operators.SimilarityOps
+    def mkEmb(from: Int, until: Int, salt: Int) =
+      spark.range(from, until).select(col("id").as("vec_id"),
+        array((0 until 16).map(i =>
+          (pmod(xxhash64(col("id"), lit(i + salt)), lit(1000)).cast("float") / 500.0f - 1.0f)): _*)
+          .as("embedding"))
+    val emb = mkEmb(0, 200, 1)
+    val index = SimilarityOps.trainIvf(emb, nLists = 4)
+    val books = SimilarityOps.trainPq(emb, m = 4, k = 8, dim = 16)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def build(): String = {
+      val p = "target/fixtures/ann_compact_crash_" + System.nanoTime()
+      SimilarityOps.writeIvfPq(emb, index, books, p)
+      SimilarityOps.appendIvfPq(mkEmb(200, 260, 5), index, books, p, batchId = 1)
+      p
+    }
+    def key(p: String) = SimilarityOps.annTopKIvfPqStored(spark, p, queries, index, books,
+      k = 3, nprobe = 2, shortlist = 20)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fs = new org.apache.hadoop.fs.Path("target").getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+    // crash BEFORE the watermark commit: nothing visible changed — batch
+    // dirs intact, watermark unset, the rerun discards staging and redoes
+    // the fold from the intact sources
+    val p1 = build()
+    val want1 = key(p1)
+    intercept[RuntimeException] {
+      SimilarityOps.compactIvfPq(spark, p1, failAt = Some("before-commit"))
+    }
+    assert(SimilarityOps.compactedThrough(fs, p1) == -1L, "uncommitted crash moved the watermark")
+    assert(key(p1) == want1, "pre-commit crash changed visible results")
+    assert(SimilarityOps.compactIvfPq(spark, p1) == 1L)
+    assert(key(p1) == want1)
+    assert(spark.read.parquet(p1).count() == 260)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p1/_compact_tmp")), "staging leaked")
+
+    // crash AFTER the commit: the watermark is in, sources still intact so
+    // readers between crash and rerun see correct data; the rerun FINISHES
+    // the swap instead of redoing (or discarding) the fold
+    val p2 = build()
+    val want2 = key(p2)
+    intercept[RuntimeException] {
+      SimilarityOps.compactIvfPq(spark, p2, failAt = Some("after-commit"))
+    }
+    assert(SimilarityOps.compactedThrough(fs, p2) == 1L)
+    assert(key(p2) == want2, "post-commit crash window shows wrong results")
+    assert(SimilarityOps.compactIvfPq(spark, p2) == 1L)
+    assert(key(p2) == want2)
+    assert(spark.read.parquet(p2).count() == 260)
+    val dirs2 = new java.io.File(p2).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs2 == 1, s"rerun did not finish the swap: $dirs2 batch dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/_compact_tmp")), "staging leaked")
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
