@@ -1,0 +1,117 @@
+package graft.icelite
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Crash-safe FOLD of sibling `prefix<id>` directories into one — the shared
+ * mechanism behind steady-state compaction (ANN index batches, dedup-history
+ * batches). After D incremental appends a reader opens ≥D file sets per
+ * probe; folding restores ~one file set without changing a single row.
+ *
+ * Safe WITHOUT multi-directory atomic rename (object stores have none):
+ *
+ *  1. the merged copy is staged under `base/_compact_tmp` — underscore
+ *     paths are invisible both to parquet partition discovery and to any
+ *     enumeration that filters on `prefix`;
+ *  2. a `_covers` marker (the folded-through id) is written INSIDE the
+ *     staging dir;
+ *  3. the `base/_compacted_through` watermark write is the COMMIT POINT;
+ *  4. the swap deletes the folded source dirs and renames staging into
+ *     `prefix<target>`. The marker RIDES the rename — deleting it before
+ *     the rename would open a window (sources deleted, marker gone,
+ *     staging still underscore-named) where a rerun discards the only
+ *     surviving copy as "uncommitted". After the rename it is pure
+ *     cleanup: a crash leaves only an ignored underscore file.
+ *
+ * A rerun after a crash compares marker to watermark: equal ⇒ committed,
+ * FINISH the swap (source deletes are idempotent); unequal or missing ⇒
+ * uncommitted, discard staging — the sources are still intact. At no point
+ * does a reader that enumerates `prefix` dirs (or reads via partition
+ * discovery) see half-folded state.
+ *
+ * Appends racing the fold are safe as long as they land ABOVE the folded
+ * ids — both callers guarantee that (appendIvfPq refuses ids at or below
+ * the watermark; streaming batch ids are checkpoint-monotone).
+ */
+object FoldSwap {
+
+  val TmpName = "_compact_tmp"
+  val WatermarkName = "_compacted_through"
+
+  /** Highest id folded into `base` by compaction (-1 = none). */
+  def compactedThrough(fs: FileSystem, base: String): Long =
+    readLong(fs, new Path(s"$base/$WatermarkName"))
+
+  /** Ids of existing `prefix<id>` dirs directly under `base`. */
+  def listIds(fs: FileSystem, base: String, prefix: String): Seq[Long] = {
+    val p = new Path(base)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+  }
+
+  private def readLong(fs: FileSystem, p: Path): Long =
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+
+  private def writeLong(fs: FileSystem, p: Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /**
+   * Fold the dirs `selectFoldable` picks (from the current listing) into
+   * `prefix<max(foldable)>`. `stage(tmpPath, foldIds, target)` writes the
+   * merged copy to `tmpPath` — it must read ONLY the foldable sources (a
+   * caller whose reader sees every dir filters to `foldIds` itself).
+   * No-op (returns the current watermark) when fewer than 2 dirs are
+   * foldable. `failAt` ("before-commit" | "after-commit") is a TEST-ONLY
+   * failpoint. Returns the new watermark.
+   */
+  def compact(spark: SparkSession, base: String, prefix: String,
+              selectFoldable: Seq[Long] => Seq[Long],
+              stage: (String, Seq[Long], Long) => Unit,
+              failAt: Option[String] = None): Long = {
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"$base/$TmpName")
+    val covers = new Path(s"$base/$TmpName/_covers")
+    def finishSwap(w: Long, folded: Seq[Long]): Unit = {
+      folded.filter(_ <= w).foreach(id =>
+        fs.delete(new Path(s"$base/$prefix$id"), true))
+      require(fs.rename(tmp, new Path(s"$base/$prefix$w")),
+        s"compaction rename failed for $base")
+      fs.delete(new Path(s"$base/$prefix$w/_covers"), false)
+    }
+    // crash recovery from a previous run
+    if (fs.exists(tmp)) {
+      val w = compactedThrough(fs, base)
+      val tmpCovers = readLong(fs, covers)
+      if (tmpCovers == w && w >= 0) {
+        // committed: finish. Deleting every remaining source dir at or
+        // below the watermark is exactly the interrupted swap's delete set
+        // (fold sets are always "all selected ids ≤ target").
+        finishSwap(w, listIds(fs, base, prefix)); return w
+      } else fs.delete(tmp, true) // uncommitted: sources intact, discard staging
+    }
+    val foldable = selectFoldable(listIds(fs, base, prefix))
+    if (foldable.size <= 1) return compactedThrough(fs, base)
+    val target = foldable.max
+    stage(tmp.toString, foldable, target)
+    writeLong(fs, covers, target)
+    if (failAt.contains("before-commit"))
+      throw new RuntimeException("failpoint: before-commit")
+    writeLong(fs, new Path(s"$base/$WatermarkName"), target) // COMMIT POINT
+    if (failAt.contains("after-commit"))
+      throw new RuntimeException("failpoint: after-commit")
+    finishSwap(target, foldable)
+    target
+  }
+}

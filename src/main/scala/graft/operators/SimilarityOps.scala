@@ -769,37 +769,10 @@ object SimilarityOps {
   // into one subtree with ~1 file per list.
   // ------------------------------------------------------------------------
 
-  private def watermarkPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_compacted_through")
-
   /** Highest batch id folded into the index by compaction (-1 = none).
     * [[appendIvfPq]] refuses batch ids at or below it. */
-  def compactedThrough(fs: org.apache.hadoop.fs.FileSystem, path: String): Long = {
-    val wm = watermarkPath(path)
-    if (!fs.exists(wm)) -1L
-    else {
-      val in = fs.open(wm)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
-
-  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                             p: org.apache.hadoop.fs.Path, s: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def listBatchIds(fs: org.apache.hadoop.fs.FileSystem,
-                           path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-  }
+  def compactedThrough(fs: org.apache.hadoop.fs.FileSystem, path: String): Long =
+    graft.icelite.FoldSwap.compactedThrough(fs, path)
 
   /** Steady-state index MAINTENANCE: fold every `batch_id=N` subtree into a
     * single `batch_id=<maxId>` with ~one file per list, then advance the
@@ -808,69 +781,23 @@ object SimilarityOps {
     * longer covers it — a silent re-ingest would duplicate rows and crowd
     * genuine neighbors out of every stored top-k). Appends with ids above
     * the watermark are untouched, including ones racing the compaction.
-    *
-    * CRASH-SAFE without multi-dir atomic rename (object stores have none):
-    * the merged copy is staged under `_compact_tmp` (underscore paths are
-    * invisible to parquet partition discovery) carrying a `_covers` marker;
-    * the watermark write is the COMMIT POINT. A rerun after a crash
-    * compares the marker to the watermark: equal ⇒ committed, finish the
-    * swap (delete folded batch dirs, rename tmp into place); unequal ⇒
-    * uncommitted, discard tmp — the source batch dirs are still intact.
-    * Either way no state is half-visible to readers that survive a rerun.
-    *
-    * `failAt` is a TEST-ONLY failpoint ("before-commit" | "after-commit")
-    * — production callers leave it None. Returns the watermark. */
+    * Crash safety (staging, commit-point watermark, rerun recovery) is
+    * [[graft.icelite.FoldSwap]]'s contract. `failAt` is its TEST-ONLY
+    * failpoint. Returns the watermark. */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
-                   failAt: Option[String] = None): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp")
-    val covers = new org.apache.hadoop.fs.Path(s"$path/_compact_tmp/_covers")
-    def finishSwap(w: Long): Unit = {
-      listBatchIds(fs, path).filter(_ <= w).foreach(id =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch_id=$id"), true))
-      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/batch_id=$w")),
-        s"compaction rename failed for $path")
-      // the _covers marker RODE the rename — deleting it before the rename
-      // would open a window (sources deleted, marker gone, tmp still staged)
-      // where a crash makes recovery discard the only surviving copy. Here
-      // it is pure cleanup: underscore files are invisible to partition
-      // discovery, so a crash before this delete leaves only an ignored file.
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch_id=$w/_covers"), false)
-    }
-    // crash recovery from a previous run
-    if (fs.exists(tmp)) {
-      val w = compactedThrough(fs, path)
-      val tmpCovers =
-        if (!fs.exists(covers)) -1L
-        else {
-          val in = fs.open(covers)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
-      if (tmpCovers == w && w >= 0) { finishSwap(w); return w } // committed: finish
-      else fs.delete(tmp, true) // uncommitted: sources intact, discard staging
-    }
-    val ids = listBatchIds(fs, path)
-    if (ids.size <= 1) return compactedThrough(fs, path) // already compact
-    val maxId = ids.max
-    val merged = spark.read.parquet(path)
-      .filter(col("batch_id") <= maxId).drop("batch_id")
-    val nLists = merged.select("list_id").distinct().count().toInt.max(1)
-    // one task per list (a task may carry 2 hash-colliding lists) ⇒ ~1
-    // file set per list after the fold
-    merged.repartition(nLists, col("list_id"))
-      .write.partitionBy("list_id").parquet(tmp.toString)
-    writeSmallFile(fs, covers, maxId.toString)
-    if (failAt.contains("before-commit"))
-      throw new RuntimeException("failpoint: before-commit")
-    writeSmallFile(fs, watermarkPath(path), maxId.toString) // COMMIT POINT
-    if (failAt.contains("after-commit"))
-      throw new RuntimeException("failpoint: after-commit")
-    finishSwap(maxId)
-    maxId
-  }
+                   failAt: Option[String] = None): Long =
+    graft.icelite.FoldSwap.compact(spark, path, "batch_id=",
+      selectFoldable = identity,
+      stage = (tmp, _, target) => {
+        val merged = spark.read.parquet(path)
+          .filter(col("batch_id") <= target).drop("batch_id")
+        val nLists = merged.select("list_id").distinct().count().toInt.max(1)
+        // one task per list (a task may carry 2 hash-colliding lists) ⇒ ~1
+        // file set per list after the fold
+        merged.repartition(nLists, col("list_id"))
+          .write.partitionBy("list_id").parquet(tmp)
+      },
+      failAt = failAt)
 
   /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
     * become STATIC partition filters (queries broadcast-small by contract),

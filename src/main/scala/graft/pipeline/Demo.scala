@@ -203,10 +203,22 @@ object Demo {
         meta.index, meta.codebooks, idxDir, batchId = 1L)).isFailure
     assert(replayRefused, "replay of a compaction-folded batch id was accepted")
 
+    // same maintenance for the retained-corpus HISTORY: the two committed
+    // batch dirs fold into one doc_id-bucketed dir (the highest, still-
+    // replayable one is never folded) with no row lost
+    def historyDirs() = new java.io.File(outDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val historyBefore = historyDirs()
+    val historyFolded = StreamingDedup.compactHistory(spark, outDir)
+    assert(historyFolded == 1L, s"history compacted through $historyFolded, want 1")
+    assert(historyDirs() == 2, s"${historyDirs()} history dirs remain, want folded+highest")
+    assert(spark.read.schema(StreamingDedup.docSchema).parquet(outDir).count() ==
+      survivorCounts.sum, "history compaction lost or duplicated retained docs")
+
     println(s"STEADY batches=3 survivors=${survivorCounts.mkString(",")} " +
       s"store_snapshots=${storeIds.mkString("->")} retained_manifests=$retained " +
       s"index_version=${meta.version} index_rows=$indexRows ann_ok=true " +
       f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")} " +
-      s"compacted_through=$foldedThrough")
+      s"compacted_through=$foldedThrough history_dirs=$historyBefore->${historyDirs()}")
   }
 }

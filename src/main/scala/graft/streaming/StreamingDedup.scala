@@ -142,4 +142,38 @@ object StreamingDedup {
     q.awaitTermination()
     batches
   }
+
+  /**
+   * Steady-state history MAINTENANCE: fold committed `batch_id=N` retained-
+   * corpus partitions into one doc_id-bucketed dir. Without it a year of
+   * daily ingest leaves ~365 bucketed dirs and every batch's verify stage
+   * pays O(batches) table registrations and O(batches × buckets) file opens
+   * — after the fold it's one registration and ≤ `HistoryBuckets` files,
+   * with the SAME rows (survivor doc_ids are disjoint across batches) and
+   * the SAME bucket-pruned point lookups (the fold rewrites through
+   * [[BucketedTables.write]], so the merged dir carries the bucket layout).
+   *
+   * The HIGHEST batch dir is never folded: it is the only one the streaming
+   * checkpoint can still replay (batch N replays only before N+1 starts),
+   * and a replay rewrites its own dir — folding it would let that rewrite
+   * race the fold. Everything below it is committed by the same argument.
+   * The folded dir keeps a `batch_id=` name, so [[processAvailable]]'s
+   * history enumeration needs no changes and its own-partition exclusion
+   * still works. Crash safety (staging, commit-point watermark, rerun
+   * recovery) is [[graft.icelite.FoldSwap]]'s contract; `failAt` is its
+   * TEST-ONLY failpoint. Returns the folded-through watermark.
+   */
+  def compactHistory(spark: SparkSession, outDir: String,
+                     failAt: Option[String] = None): Long =
+    graft.icelite.FoldSwap.compact(spark, outDir, "batch_id=",
+      // all but the highest (possibly still-replayable) batch dir
+      selectFoldable = ids => if (ids.size <= 1) Seq.empty else ids.sorted.dropRight(1),
+      stage = (tmp, foldIds, _) => {
+        val merged = foldIds
+          .map(id => BucketedTables.read(spark, s"$outDir/batch_id=$id",
+            HistoryBuckets, Some(docSchema)).select("doc_id", "text"))
+          .reduce(_.unionByName(_))
+        BucketedTables.write(merged, tmp, HistoryBuckets)
+      },
+      failAt = failAt)
 }

@@ -234,6 +234,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalIds == (0L until 30L).toSet ++ (40L to 49L).toSet, s"got ${finalIds.size} ids")
   }
 
+  test("history compaction: folds committed batch dirs; dedup against folded history intact; crash-safe") {
+    import graft.streaming.StreamingDedup
+    val base = Files.createTempDirectory("graft_sdedup_compact").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ic = new graft.icelite.Icelite(s"$base/ic")
+    val docs = graft.tools.SketchDialsProbe.syntheticDocs(spark, 120, 0).localCheckpoint(true)
+
+    // three waves of disjoint fresh docs -> committed batch dirs 0,1,2
+    docs.filter(col("doc_id") < 30).write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    docs.filter(col("doc_id").between(30, 59)).write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    docs.filter(col("doc_id").between(60, 89)).write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    def dirs() = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs() == 3)
+
+    // crash BEFORE the commit point: nothing visible changed, and the rerun
+    // redoes the fold from the intact sources
+    intercept[RuntimeException] {
+      StreamingDedup.compactHistory(spark, out, failAt = Some("before-commit"))
+    }
+    assert(dirs() == 3, "pre-commit crash changed visible history")
+    assert(StreamingDedup.compactHistory(spark, out) == 1L)
+    // batches 0+1 folded into batch_id=1; the HIGHEST (still-replayable)
+    // batch dir is never folded
+    assert(dirs() == 2, s"want folded+highest, got ${dirs()} dirs")
+    assert(spark.read.schema(StreamingDedup.docSchema).parquet(out).count() == 90,
+      "fold lost or duplicated retained docs")
+    // the folded dir still reads as a doc_id-bucketed table (same bucket
+    // spec -> same shuffle-free joins and bucket-pruned point lookups)
+    val folded = graft.icelite.BucketedTables.read(spark, s"$out/batch_id=1",
+      StreamingDedup.HistoryBuckets, Some(StreamingDedup.docSchema))
+    assert(folded.count() == 60)
+
+    // wave 4: re-crawls of texts that now live ONLY in the folded dir must
+    // still die against history; genuinely new docs survive
+    docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id").between(100, 109)))
+      .write.mode("append").parquet(in)
+    StreamingDedup.processAvailable(spark, in, ic, out, cp)
+    val ids = spark.read.schema(StreamingDedup.docSchema).parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 90L).toSet ++ (100L to 109L).toSet,
+      s"folded-history dedup broke: ${ids.size} survivors")
+
+    // repeated compaction folds the newly-committed dirs and keeps going
+    assert(StreamingDedup.compactHistory(spark, out) == 2L)
+    assert(dirs() == 2)
+    assert(spark.read.schema(StreamingDedup.docSchema).parquet(out).count() == 100)
+  }
+
   test("incremental sink is idempotent under batch REPLAY (at-least-once foreachBatch)") {
     import org.apache.spark.sql.functions.lit
     val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
