@@ -82,6 +82,18 @@ object BucketedTables {
     } finally {
       if (spark.catalog.tableExists(tmp)) spark.sql(s"DROP TABLE `$tmp`")
     }
+    // LOUD guard on the one-file-per-bucket contract: the pre-write
+    // repartition can be legitimately planned away when the input is a
+    // single scan of an identically-bucketed table (already one task per
+    // bucket — still ≤ numBuckets files), but a UNION of such scans
+    // spuriously satisfies the same requirement and would silently write
+    // one file per SOURCE partition (callers must stage unions through
+    // plain scans — see StreamingDedup.compactHistory)
+    val written = fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet"))
+    require(written <= spec.numBuckets,
+      s"bucketed write to $path produced $written files for ${spec.numBuckets} " +
+        "buckets — the bucket-aligning repartition was planned away " +
+        "(union-of-bucketed-scans input?); stage through a plain scan")
     // invalidate any reader registration over this path: the catalog caches
     // the table's file listing, and a rewrite (batch replay) would otherwise
     // serve the OLD files to an already-registered reader in this session

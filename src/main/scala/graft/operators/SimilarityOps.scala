@@ -756,8 +756,14 @@ object SimilarityOps {
         s"compaction (compacted through $w) — the per-batch overwrite that made " +
         "replays idempotent no longer covers it, so re-ingesting would DUPLICATE " +
         "rows; replay under a fresh batch id or rebuild with writeIvfPq")
+    // one task per list before the partitioned write: without this each of
+    // the batch's input partitions writes a file into EVERY list dir it
+    // touches (parallelism × nLists tiny files per batch — measured 6k+
+    // files after 12 daily appends in CompactionProbe); with it a batch
+    // adds ~1 file per list
     withPqCodes(newVectors, codebooks)
       .withColumn("list_id", ivfListId(col("embedding"), index))
+      .repartition(index.centroids.length, col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/batch_id=$batchId")
   }

@@ -169,10 +169,16 @@ object StreamingDedup {
       // all but the highest (possibly still-replayable) batch dir
       selectFoldable = ids => if (ids.size <= 1) Seq.empty else ids.sorted.dropRight(1),
       stage = (tmp, foldIds, _) => {
-        val merged = foldIds
-          .map(id => BucketedTables.read(spark, s"$outDir/batch_id=$id",
-            HistoryBuckets, Some(docSchema)).select("doc_id", "text"))
-          .reduce(_.unionByName(_))
+        // PLAIN parquet scans of the fold sources, NOT bucketed-table reads:
+        // a union of identically-bucketed scans reports a partitioning that
+        // lets the write-side repartition be planned away, so every source
+        // partition writes its own file (batches × buckets files — the
+        // fold's whole point defeated, measured in CompactionProbe). Plain
+        // scans keep the shuffle and the staged dir lands at exactly
+        // numBuckets files; BucketedTables.write asserts that.
+        val merged = spark.read.schema(docSchema)
+          .parquet(foldIds.map(id => s"$outDir/batch_id=$id"): _*)
+          .select("doc_id", "text")
         BucketedTables.write(merged, tmp, HistoryBuckets)
       },
       failAt = failAt)

@@ -948,6 +948,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(batchDirs() == 1, "compaction left multiple batch subtrees")
     assert(dataFiles() < filesBefore,
       s"compaction did not reduce file count ($filesBefore -> ${dataFiles()})")
+    // ~one file per list + the _index_meta sidecar — the fold's whole point
+    assert(dataFiles() <= 6 + 1, s"${dataFiles()} files after folding 6 lists")
     assert(key() == want, "compaction changed stored-index query results")
     assert(spark.read.parquet(path).count() == 450, "compaction lost/duplicated rows")
 

@@ -269,6 +269,12 @@ class StreamingSpec extends AnyFunSuite {
     val folded = graft.icelite.BucketedTables.read(spark, s"$out/batch_id=1",
       StreamingDedup.HistoryBuckets, Some(StreamingDedup.docSchema))
     assert(folded.count() == 60)
+    // and it actually IS compact: ≤ one file per bucket, not one per source
+    // partition (the union-of-bucketed-scans elision CompactionProbe caught)
+    val foldedFiles = new java.io.File(s"$out/batch_id=1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(foldedFiles <= StreamingDedup.HistoryBuckets.numBuckets,
+      s"folded dir holds $foldedFiles files for ${StreamingDedup.HistoryBuckets.numBuckets} buckets")
 
     // wave 4: re-crawls of texts that now live ONLY in the folded dir must
     // still die against history; genuinely new docs survive
