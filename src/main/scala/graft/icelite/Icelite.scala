@@ -185,7 +185,13 @@ final class Icelite(rootDir: String) extends Serializable {
           // contract ([[graft.operators.DedupOps.incrementalMinhashDedup]])
           BucketedTables.write(persisted, dataPath.toString, spec)
         case None =>
-          val writer = persisted.write.mode("overwrite")
+          // partition-aligned shuffle before a partitioned write: one file
+          // per partition value, not one per task × value
+          val aligned =
+            if (partitionBy.nonEmpty)
+              persisted.repartition(partitionBy.map(persisted.col): _*)
+            else persisted
+          val writer = aligned.write.mode("overwrite")
           (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
             .parquet(dataPath.toString)
       }

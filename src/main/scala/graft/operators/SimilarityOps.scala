@@ -100,6 +100,12 @@ object SimilarityOps {
                     nPlanes: Int = 6, dim: Int = 64): Unit =
     embeddings
       .withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim))
+      // key-aligned shuffle before the partitioned write: without it every
+      // input partition writes a file into every bucket dir it touches
+      // (parallelism × 2^planes tiny files); with it each bucket's rows sit
+      // in one task ⇒ one file per bucket (CompactionProbe's appendIvfPq
+      // finding, applied to every partitionBy writer)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   // ------------------------------------------------------------------------
@@ -185,6 +191,7 @@ object SimilarityOps {
     * at the scan. */
   def writeIvf(embeddings: DataFrame, index: IvfIndex, path: String): Unit =
     embeddings.withColumn("list_id", ivfListId(col("embedding"), index))
+      .repartition(col("list_id")) // one file per list, not per task×list
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** IVF ANN over [[writeIvf]] storage: each query's `nprobe` nearest lists
@@ -763,7 +770,7 @@ object SimilarityOps {
     // adds ~1 file per list
     withPqCodes(newVectors, codebooks)
       .withColumn("list_id", ivfListId(col("embedding"), index))
-      .repartition(index.centroids.length, col("list_id"))
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/batch_id=$batchId")
   }
@@ -795,12 +802,11 @@ object SimilarityOps {
     graft.icelite.FoldSwap.compact(spark, path, "batch_id=",
       selectFoldable = identity,
       stage = (tmp, _, target) => {
-        val merged = spark.read.parquet(path)
+        // key-aligned shuffle ⇒ each list's rows in one task ⇒ one file
+        // per list after the fold
+        spark.read.parquet(path)
           .filter(col("batch_id") <= target).drop("batch_id")
-        val nLists = merged.select("list_id").distinct().count().toInt.max(1)
-        // one task per list (a task may carry 2 hash-colliding lists) ⇒ ~1
-        // file set per list after the fold
-        merged.repartition(nLists, col("list_id"))
+          .repartition(col("list_id"))
           .write.partitionBy("list_id").parquet(tmp)
       },
       failAt = failAt)
