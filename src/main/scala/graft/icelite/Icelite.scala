@@ -1,8 +1,5 @@
 package graft.icelite
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,20 +17,29 @@ import org.apache.spark.sql.functions._
  *   root/<table>/snapshots/<id>.json              manifest: row count, per-partition counts, parent, tag
  *   root/<table>/current                          pointer file: latest snapshot id
  *
+ * The root may be a plain local path OR any Hadoop FileSystem URI
+ * (`file://`, `hdfs://`, …): data files always go through Spark (Hadoop FS
+ * natively), and every metadata operation goes through the [[MetaIO]] seam,
+ * dispatched on the root's scheme (local paths keep POSIX `O_EXCL` claim
+ * atomicity; URIs get `FileSystem.create(overwrite=false)` + `FileContext`
+ * renames — atomic on HDFS, best-effort on stores without conditional
+ * writes, as documented on [[MetaIO]]).
+ *
  * Writes are atomic-enough for a single driver: data first, manifest second
- * (temp + ATOMIC_MOVE — a concurrent findByTag can never read a half-written
- * manifest), pointer last — a crashed write leaves the previous snapshot
- * current, which is exactly the resume contract (kill after stage k → rerun
- * reuses every stage whose manifest landed; BASELINE.md resumability row).
+ * (temp + atomic rename — a concurrent findByTag can never read a
+ * half-written manifest), pointer last — a crashed write leaves the previous
+ * snapshot current, which is exactly the resume contract (kill after stage k
+ * → rerun reuses every stage whose manifest landed; BASELINE.md
+ * resumability row).
  *
  * Concurrency: snapshot ids are claimed CAS-style — `snapshots/<id>.claim`
- * is created with CREATE_NEW (atomic fail-if-exists on POSIX), so two
- * writers can never share an id even across INSTANCES or PROCESSES on one
- * root; the claim also shields the in-flight snapshot's data dir from
- * another instance's [[expireSnapshots]] orphan sweep, and is removed once
- * the write commits (or fails — a failed write's unreferenced data dir
- * becomes sweepable). The `current` pointer only ever advances, but the
- * pointer's check-then-advance runs under a PROCESS-WIDE lock
+ * is created atomically-if-absent (O_EXCL on POSIX, namenode-atomic create
+ * on HDFS), so two writers can never share an id even across INSTANCES or
+ * PROCESSES on one root; the claim also shields the in-flight snapshot's
+ * data dir from another instance's [[expireSnapshots]] orphan sweep, and is
+ * removed once the write commits (or fails — a failed write's unreferenced
+ * data dir becomes sweepable). The `current` pointer only ever advances, but
+ * the pointer's check-then-advance runs under a PROCESS-WIDE lock
  * ([[Icelite.pointerLock]] — a per-instance lock would let two instances on
  * one root roll the pointer back), so within one JVM `current` only ever
  * advances; across PROCESSES the check-then-write is not atomic and
@@ -50,11 +56,14 @@ final class Icelite(rootDir: String) extends Serializable {
 
   def root: String = rootDir
 
-  private def tableDir(table: String): Path = Paths.get(rootDir, table)
+  private val io: MetaIO = MetaIO.forRoot(rootDir)
+
+  private def tableDir(table: String): String = io.join(rootDir, table)
+  private def snapsDir(table: String): String = io.join(tableDir(table), "snapshots")
 
   def currentSnapshotId(table: String): Option[Long] = {
-    val p = tableDir(table).resolve("current")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong) else None
+    val p = io.join(tableDir(table), "current")
+    if (io.exists(p)) Some(io.readString(p).trim.toLong) else None
   }
 
   /** Per-table id counter (lazy so deserialized copies re-seed from disk). */
@@ -73,30 +82,22 @@ final class Icelite(rootDir: String) extends Serializable {
     * leave `current` behind a tagged-but-newer snapshot; a crashed write can
     * leave a manifest above `current`). */
   private def maxSnapshotId(table: String): Long = {
-    val snaps = tableDir(table).resolve("snapshots")
-    val fromManifests =
-      if (!Files.exists(snaps)) 0L
-      else {
-        val stream = Files.list(snaps)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.endsWith(".json"))
-          .flatMap(n => n.stripSuffix(".json").toLongOption)
-          .foldLeft(0L)(math.max)
-        finally stream.close()
-      }
+    val fromManifests = io.list(snapsDir(table))
+      .filter(_.endsWith(".json"))
+      .flatMap(n => n.stripSuffix(".json").toLongOption)
+      .foldLeft(0L)(math.max)
     math.max(fromManifests, currentSnapshotId(table).getOrElse(0L))
   }
 
   /** Allocate the next snapshot id — unique across concurrent writers,
     * instances AND processes: the candidate is claimed by atomically creating
-    * `snapshots/<id>.claim` (CREATE_NEW fails if another writer got there
-    * first → bump and retry). The claim outlives this call until
+    * `snapshots/<id>.claim` (create-if-absent fails if another writer got
+    * there first → bump and retry). The claim outlives this call until
     * [[writeSnapshot]] commits or fails, shielding the id from every
     * instance's orphan sweep in between. */
   private def allocateId(table: String): Long = this.synchronized {
-    val snaps = tableDir(table).resolve("snapshots")
-    Files.createDirectories(snaps)
+    val snaps = snapsDir(table)
+    io.mkdirs(snaps)
     // -1 sentinel seed: the disk max is read ONCE per call below (seeding
     // with maxSnapshotId would scan the snapshots dir twice under the lock)
     val c = idCounters.computeIfAbsent(table,
@@ -104,35 +105,22 @@ final class Icelite(rootDir: String) extends Serializable {
     val disk = maxSnapshotId(table)
     if (c.get() < disk) c.set(disk)
     var id = c.incrementAndGet()
-    var claimed = false
-    while (!claimed) {
-      try {
-        Files.createFile(snaps.resolve(s"$id.claim")) // atomic CAS on the id
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => id = c.incrementAndGet()
-      }
+    while (!io.createNew(io.join(snaps, s"$id.claim"))) { // atomic CAS on the id
+      id = c.incrementAndGet()
     }
     pendingIds.add(s"$table/$id")
     id
   }
 
-  private def releaseClaim(table: String, id: Long): Unit = {
-    Files.deleteIfExists(tableDir(table).resolve(s"snapshots/$id.claim")); ()
-  }
+  private def releaseClaim(table: String, id: Long): Unit =
+    io.deleteIfExists(io.join(snapsDir(table), s"$id.claim"))
 
   /** Ids currently claimed by an in-flight writer (any instance/process). */
-  private def claimedIds(table: String): Set[Long] = {
-    val snaps = tableDir(table).resolve("snapshots")
-    if (!Files.exists(snaps)) return Set.empty
-    val stream = Files.list(snaps)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
+  private def claimedIds(table: String): Set[Long] =
+    io.list(snapsDir(table))
       .filter(_.endsWith(".claim"))
       .flatMap(n => n.stripSuffix(".claim").toLongOption)
       .toSet
-    finally stream.close()
-  }
 
   /** Tags are stored JSON-safe; probe and store MUST sanitize identically or
     * a tag containing a quote/backslash/newline would never resume. */
@@ -140,21 +128,17 @@ final class Icelite(rootDir: String) extends Serializable {
 
   /** Find an existing snapshot carrying `tag` (tag = content key for resume). */
   def findByTag(table: String, tag: String): Option[Long] = {
-    val snaps = tableDir(table).resolve("snapshots")
-    if (!Files.exists(snaps)) return None
-    val stream = Files.list(snaps) // Files.list holds a directory fd until closed
-    try {
-      stream.iterator().asScala
-        .filter(_.toString.endsWith(".json"))
-        .flatMap { mf =>
-          val txt = new String(Files.readAllBytes(mf), "UTF-8")
-          // manifest is flat JSON written by us; a contains-check on the exact
-          // (sanitized, like writeSnapshot stores it) tag field is safe
-          if (txt.contains(s""""tag":"${sanitizeTag(tag)}"""")) {
-            Some(mf.getFileName.toString.stripSuffix(".json").toLong)
-          } else None
-        }.toList.sorted.lastOption
-    } finally stream.close()
+    val snaps = snapsDir(table)
+    io.list(snaps)
+      .filter(_.endsWith(".json"))
+      .flatMap { name =>
+        val txt = io.readString(io.join(snaps, name))
+        // manifest is flat JSON written by us; a contains-check on the exact
+        // (sanitized, like writeSnapshot stores it) tag field is safe
+        if (txt.contains(s""""tag":"${sanitizeTag(tag)}"""")) {
+          Some(name.stripSuffix(".json").toLong)
+        } else None
+      }.sorted.lastOption
   }
 
   /**
@@ -171,9 +155,9 @@ final class Icelite(rootDir: String) extends Serializable {
     require(partitionBy.isEmpty || buckets.isEmpty,
       "a snapshot is partitioned OR bucketed, not both")
     val dir = tableDir(table)
-    Files.createDirectories(dir.resolve("snapshots"))
+    io.mkdirs(io.join(dir, "snapshots"))
     val id = allocateId(table)
-    val dataPath = dir.resolve(s"data/snap-$id")
+    val dataPath = io.join(dir, s"data/snap-$id")
 
     val persisted = df.persist()
     try {
@@ -183,7 +167,7 @@ final class Icelite(rootDir: String) extends Serializable {
           // readSnapshot): a reader joining/grouping on the bucket columns
           // pays NO exchange on this snapshot's side — the signature-store
           // contract ([[graft.operators.DedupOps.incrementalMinhashDedup]])
-          BucketedTables.write(persisted, dataPath.toString, spec)
+          BucketedTables.write(persisted, dataPath, spec)
         case None =>
           // partition-aligned shuffle before a partitioned write: one file
           // per partition value, not one per task × value
@@ -193,7 +177,7 @@ final class Icelite(rootDir: String) extends Serializable {
             else persisted
           val writer = aligned.write.mode("overwrite")
           (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-            .parquet(dataPath.toString)
+            .parquet(dataPath)
       }
 
       val partCounts = persisted
@@ -212,27 +196,20 @@ final class Icelite(rootDir: String) extends Serializable {
       // manifest lands ATOMICALLY: a concurrent findByTag either sees the
       // complete manifest or no manifest — never a prefix that would parse
       // as "tag absent" and trigger a duplicate computation's write
-      val mfTmp = dir.resolve(s"snapshots/$id.json.tmp")
-      Files.write(mfTmp, manifest.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      Files.move(mfTmp, dir.resolve(s"snapshots/$id.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      io.writeAtomic(io.join(dir, s"snapshots/$id.json.tmp"),
+        io.join(dir, s"snapshots/$id.json"), manifest, replace = false)
       // the pointer only ADVANCES: with concurrent writers, a slower write
       // of an older id must not roll `current` back past a committed newer
       // one. The check-then-write must serialize across INSTANCES too (two
       // Icelite objects on one root race exactly like two threads), so the
       // lock is process-wide, not per-instance. The pointer lands via temp
-      // + ATOMIC_MOVE: an in-place TRUNCATE_EXISTING write lets a concurrent
+      // + atomic rename: an in-place truncate-and-write lets a concurrent
       // reader observe an EMPTY pointer file mid-rewrite ("".toLong —
       // surfaced by the racing-writer-pair test); rename is all-or-nothing.
       Icelite.pointerLock.synchronized {
         if (currentSnapshotId(table).forall(_ < id)) {
-          val tmp = dir.resolve(s"current.tmp-$id")
-          Files.write(tmp, id.toString.getBytes("UTF-8"),
-            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-          Files.move(tmp, dir.resolve("current"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          io.writeAtomic(io.join(dir, s"current.tmp-$id"), io.join(dir, "current"),
+            id.toString, replace = true)
         }
       }
       id
@@ -268,8 +245,8 @@ final class Icelite(rootDir: String) extends Serializable {
                       staleClaimMs: Long = Icelite.DefaultStaleClaimMs): Seq[Long] =
     this.synchronized {
       require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
-      val snaps = tableDir(table).resolve("snapshots")
-      if (!Files.exists(snaps)) return Nil
+      val snaps = snapsDir(table)
+      if (!io.exists(snaps)) return Nil
       // stale-claim GC first, so a crashed writer's orphaned data dir becomes
       // sweepable in THIS pass: a claim with no manifest and an mtime older
       // than the threshold belongs to a dead writer (a live one created its
@@ -277,20 +254,17 @@ final class Icelite(rootDir: String) extends Serializable {
       // and keeps its id via the normal rules). pendingIds double-guards
       // this instance's own in-flight writes whatever the threshold.
       claimedIds(table).foreach { id =>
-        val claim = snaps.resolve(s"$id.claim")
-        val dead = !Files.exists(snaps.resolve(s"$id.json")) &&
+        val claim = io.join(snaps, s"$id.claim")
+        val dead = !io.exists(io.join(snaps, s"$id.json")) &&
           !pendingIds.contains(s"$table/$id") &&
-          Files.exists(claim) &&
-          Files.getLastModifiedTime(claim).toMillis < System.currentTimeMillis() - staleClaimMs
-        if (dead) Files.deleteIfExists(claim)
+          io.exists(claim) &&
+          io.lastModifiedMs(claim) < System.currentTimeMillis() - staleClaimMs
+        if (dead) io.deleteIfExists(claim)
       }
-      val stream = Files.list(snaps)
-      val ids = try stream.iterator().asScala
-        .map(_.getFileName.toString)
+      val ids = io.list(snaps)
         .filter(_.endsWith(".json"))
         .flatMap(n => n.stripSuffix(".json").toLongOption)
-        .toSeq.sorted
-      finally stream.close()
+        .sorted
       val keepByTag = keepTags.flatMap(t => findByTag(table, t)).toSet
       // never vacuum an id whose writeSnapshot is still in flight: in THIS
       // instance via pendingIds, in any OTHER instance/process via its held
@@ -302,17 +276,10 @@ final class Icelite(rootDir: String) extends Serializable {
       val keep = ids.takeRight(keepLast).toSet ++ keepByTag ++ current ++ pending ++
         claimedIds(table)
       val expired = ids.filterNot(keep)
-      def deleteDataDir(id: Long): Unit = {
-        val dataDir = tableDir(table).resolve(s"data/snap-$id")
-        if (Files.exists(dataDir)) {
-          val walk = Files.walk(dataDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { Files.deleteIfExists(p); () })
-          finally walk.close()
-        }
-      }
+      def deleteDataDir(id: Long): Unit =
+        io.deleteRecursive(io.join(tableDir(table), s"data/snap-$id"))
       expired.foreach { id =>
-        Files.deleteIfExists(snaps.resolve(s"$id.json"))
+        io.deleteIfExists(io.join(snaps, s"$id.json"))
         deleteDataDir(id)
       }
       // orphan sweep: a crash between a previous vacuum's manifest delete and
@@ -326,22 +293,15 @@ final class Icelite(rootDir: String) extends Serializable {
       // crashed writer — an in-flight one still holds its claim (taken before
       // the data dir existed) and a finished one's manifest landed before its
       // claim release.
-      val dataRoot = tableDir(table).resolve("data")
-      if (Files.exists(dataRoot)) {
-        val ls = Files.list(dataRoot)
-        val candidates = try ls.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.startsWith("snap-"))
-          .flatMap(n => n.stripPrefix("snap-").toLongOption)
-          .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
-            !current.contains(id))
-          .toList
-        finally ls.close()
-        candidates.foreach { id =>
-          val stillUnowned = !Files.exists(snaps.resolve(s"$id.claim")) &&
-            !Files.exists(snaps.resolve(s"$id.json"))
-          if (stillUnowned) deleteDataDir(id)
-        }
+      val candidates = io.list(io.join(tableDir(table), "data"))
+        .filter(_.startsWith("snap-"))
+        .flatMap(n => n.stripPrefix("snap-").toLongOption)
+        .filter(id => !ids.contains(id) && !pendingIds.contains(s"$table/$id") &&
+          !current.contains(id))
+      candidates.foreach { id =>
+        val stillUnowned = !io.exists(io.join(snaps, s"$id.claim")) &&
+          !io.exists(io.join(snaps, s"$id.json"))
+        if (stillUnowned) deleteDataDir(id)
       }
       expired
     }
@@ -351,16 +311,16 @@ final class Icelite(rootDir: String) extends Serializable {
 
   /** Bucket spec recorded in a snapshot's manifest, if any. */
   def bucketSpec(table: String, id: Long): Option[BucketedTables.BucketSpec] = {
-    val mf = tableDir(table).resolve(s"snapshots/$id.json")
-    if (!Files.exists(mf)) return None
-    BucketSpecRe.findFirstMatchIn(new String(Files.readAllBytes(mf), "UTF-8"))
+    val mf = io.join(snapsDir(table), s"$id.json")
+    if (!io.exists(mf)) return None
+    BucketSpecRe.findFirstMatchIn(io.readString(mf))
       .map(m => BucketedTables.BucketSpec(m.group(1).toInt, m.group(2).split(",").toSeq))
   }
 
   def readSnapshot(spark: SparkSession, table: String, id: Option[Long] = None): DataFrame = {
     val sid = id.orElse(currentSnapshotId(table))
       .getOrElse(throw new IllegalStateException(s"icelite table $table has no snapshots"))
-    val dataDir = tableDir(table).resolve(s"data/snap-$sid").toString
+    val dataDir = io.join(tableDir(table), s"data/snap-$sid")
     bucketSpec(table, sid) match {
       // bucketed snapshots read through the catalog so the scan KEEPS the
       // hash partitioning (a plain parquet read would be correct but would
@@ -385,7 +345,7 @@ final class Icelite(rootDir: String) extends Serializable {
     }
 
   def manifestJson(table: String, id: Long): String =
-    new String(Files.readAllBytes(tableDir(table).resolve(s"snapshots/$id.json")), "UTF-8")
+    io.readString(io.join(snapsDir(table), s"$id.json"))
 }
 
 object Icelite {

@@ -249,6 +249,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(ic.readSnapshot(spark, "t").collect().nonEmpty)
   }
 
+  test("icelite over a Hadoop FileSystem URI (file://): lifecycle, claim CAS, expiry + orphan sweep, bucketed snapshots") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{Path => HPath}
+    // scheme'd root → the HadoopMetaIO path (hdfs:// and s3a:// take the
+    // same code path; file:// is what this sandbox can actually mount)
+    val local = new java.io.File(
+      "target/icelite_hadoopfs_" + System.nanoTime()).getAbsolutePath
+    val root = "file://" + local
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val ic = new Icelite(root)
+    // lifecycle: write → pointer → tag resolve → read
+    assert(ic.writeSnapshot(Seq((1, "a")).toDF("k", "v"), "t", tag = "first") == 1L)
+    assert(ic.writeSnapshot(Seq((2, "b")).toDF("k", "v"), "t", tag = "second") == 2L)
+    assert(ic.currentSnapshotId("t").contains(2L))
+    assert(ic.findByTag("t", "first").contains(1L))
+    assert(ic.readSnapshot(spark, "t").collect().map(_.getString(1)).toSeq == Seq("b"))
+    // resume contract through the URI root: tag hit reuses, no recompute
+    var computed = false
+    val re = ic.materialize(spark, "t", "first") {
+      computed = true; Seq((9, "x")).toDF("k", "v")
+    }
+    assert(!computed && re.collect().map(_.getString(1)).toSeq == Seq("a"))
+    // claim CAS via FileSystem.create(overwrite=false): a claim held by a
+    // FOREIGN process forces allocation past it — id 3 is skipped, not shared
+    fs.create(new HPath(s"$root/t/snapshots/3.claim"), false).close()
+    assert(ic.writeSnapshot(Seq((4, "d")).toDF("k", "v"), "t", tag = "fourth") == 4L,
+      "foreign claim on id 3 was not skipped")
+    fs.delete(new HPath(s"$root/t/snapshots/3.claim"), false)
+    // expiry + orphan sweep through the Hadoop path: snap-2 expires (1 is
+    // tag-kept, 4 is current), and a manifest-less orphan dir is reclaimed
+    val orphanFile = new HPath(s"$root/t/data/snap-99/part-0.parquet")
+    val out = fs.create(orphanFile, true); out.write(1); out.close()
+    assert(ic.expireSnapshots("t", keepLast = 1, keepTags = Seq("first")) == Seq(2L))
+    assert(!fs.exists(new HPath(s"$root/t/data/snap-2")), "expired data survived")
+    assert(!fs.exists(new HPath(s"$root/t/data/snap-99")), "orphan dir not swept")
+    assert(ic.readSnapshot(spark, "t", Some(1L)).collect()
+      .map(_.getString(1)).toSeq == Seq("a"))
+    // bucketed snapshot over the URI root: spec round-trips via the manifest
+    // and the read keeps the hash layout (catalog LOCATION takes the URI)
+    val spec = graft.icelite.BucketedTables.BucketSpec(4, Seq("k"))
+    val bid = ic.writeSnapshot((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"),
+      "bt", tag = "bulk", buckets = Some(spec))
+    assert(ic.bucketSpec("bt", bid).contains(spec))
+    val back = ic.readSnapshot(spark, "bt", Some(bid))
+    assert(back.count() == 100)
+    // a groupBy on the bucket key CONSUMES the hash layout: the planner keeps
+    // the bucketed scan and needs no exchange below the aggregate (a bare
+    // scan would report "Bucketed: false (disabled by query planner)")
+    val agg = back.groupBy("k").count()
+    assert(agg.count() == 100)
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("Bucketed: true"),
+      s"URI-root bucketed snapshot fell back to a plain parquet scan:\n${aggPlan.take(1500)}")
+  }
+
   test("int8 quantization: bounded codes, extremes hit ±127, top-k recall vs full precision") {
     import graft.operators.SimilarityOps
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
