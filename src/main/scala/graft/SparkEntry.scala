@@ -379,6 +379,16 @@ object SparkEntry {
         minShared = 3, k = 8, w = 1, minSharedFrac = Some(0.35))
     }),
 
+    // --- dedup: SPAN-level substring dedup over the FULL documents table —
+    // maximal token intervals covered by 8-grams occurring in >= 2 distinct
+    // docs (the repeated-passage family doc-level minhash/simhash cannot
+    // see). Oracle: DuckDB rebuilds the gram-position inverted index on gram
+    // STRINGS and replays the same gaps-and-islands merge; gram-hash equality
+    // standing in for gram equality is the fingerprint collision-freeness
+    // convention (q_fingerprint).
+    "q_dedup_spans" -> ((s, dir) =>
+      DedupOps.duplicateSpans(docs(s, dir).select("doc_id", "text"), n = 8)),
+
     // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
     "q_media_features" -> ((s, _) => {
       graft.operators.MultimodalOps.extractFeatures(
@@ -1121,6 +1131,31 @@ object SparkEntry {
         |    least(len(x.grams), len(y.grams)) AS min_fp
         |  FROM g x JOIN g y ON x.doc_id < y.doc_id)
         |WHERE n_shared >= greatest(3, CAST(ceil(0.35 * min_fp) AS BIGINT))""".stripMargin,
+
+    "q_dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[i+1:i+8], ' ') AS gram
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(toks)-7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |brks AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM brks)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 7 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, isl""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 60-bit signature reassembled from per-bit vote sums; bits 60-63 of

@@ -673,4 +673,109 @@ object DedupOps {
       .select(col("a"), col("b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // -------------------------------------------------------------------------
+  // span-level (substring) dedup — remove repeated PASSAGES, not documents
+  // -------------------------------------------------------------------------
+
+  /**
+   * Maximal duplicated token spans: every position covered by an n-token
+   * gram whose exact text occurs in ≥ 2 DISTINCT documents, with
+   * overlapping/adjacent gram hits merged into maximal `[span_start,
+   * span_end]` token intervals per document (0-based, inclusive).
+   *
+   * This is the span-level family the doc-level ops above cannot express:
+   * two long documents sharing one boilerplate paragraph are NOT
+   * near-duplicates under minhash/simhash (low global Jaccard), but the
+   * paragraph itself is exactly the cross-document repetition that training
+   * runs memorize. The published treatment builds a corpus-wide suffix
+   * array; the distributed equivalent is this gram-position inverted index
+   * — same O(total tokens) row count, but each row is a narrow
+   * (gram_hash, doc_id, pos) triple that shuffles and partially aggregates,
+   * where a suffix array needs a global sort of the corpus.
+   *
+   * 100 TB design, stage by stage:
+   *  - grams: one codegen'd scan; text never leaves the scan — only
+   *    16-byte (doc_id, pos, gh) rows are produced (gh = 64-bit gram hash;
+   *    duplicate-gram equality is hash equality, the [[exactDuplicates]] /
+   *    fingerprint collision-freeness convention).
+   *  - cross-doc test: groupBy(gh) with min/max(doc_id) — partial map-side
+   *    aggregation collapses each document's internal repeats before the
+   *    exchange, and `min < max` is the cheapest possible ≥-2-distinct-docs
+   *    predicate (no countDistinct buffer).
+   *  - hits: left_semi back to the gram rows on gh (AQE broadcasts the
+   *    duplicated-hash set when sparse — duplication is the exception).
+   *  - merge: per-doc gaps-and-islands window over hit POSITIONS only —
+   *    rows reaching this shuffle are the duplicated hits, not the corpus.
+   *
+   * @param n gram width in tokens: spans shorter than n are invisible, and
+   *          a human-meaningful "memorizable passage" floor (the published
+   *          setting is 50 BPE tokens; tests/oracles use smaller n so the
+   *          fixture corpus actually contains duplicates)
+   */
+  def duplicateSpans(documents: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramPositions(documents, n)
+    val dup = grams.groupBy("gh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") < col("mx"))
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+    // gaps-and-islands: a hit at pos covers [pos, pos+n-1]; with a FIXED
+    // width the running span end is monotone in pos, so overlap-or-adjacency
+    // with the previous hit is just pos <= lag(pos) + n (first row: the
+    // when() condition is null -> otherwise(1) opens the first island)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") <= lag("pos", 1).over(w) + n, lit(0)).otherwise(lit(1)))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n - 1)).cast("long").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** (doc_id, pos, gh): 64-bit hash of each n-token gram at 0-based token
+    * position pos. Tokenization and the gram-hash array are staged through
+    * separate projections (HOF-CSE rule at the top of this file); docs
+    * shorter than n tokens contribute nothing. */
+  private def gramPositions(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("gh_arr"))
+      .select(col("doc_id"), posexplode(col("gh_arr")))
+      .toDF("doc_id", "pos", "gh")
+
+  /**
+   * The cleaning decision [[duplicateSpans]] feeds: rewrite each document
+   * with its duplicated spans' tokens REMOVED (kept documents pass through
+   * unchanged). The span list is aggregated per doc and joined back — the
+   * corpus is rewritten in one scan + one join whose build side is the
+   * (sparse) flagged-doc span lists; a doc's token is dropped iff any span
+   * covers its position.
+   *
+   * Order caveat, stated not hidden: removal operates on the NORMALIZED
+   * token stream (the same canonical form every dedup family hashes), so
+   * original whitespace/case inside a rewritten document is not preserved —
+   * the output is training-corpus text, not display text.
+   */
+  def removeDuplicateSpans(documents: DataFrame, n: Int = 8): DataFrame = {
+    val spans = duplicateSpans(documents, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", filter(col("toks"), (_, i) =>
+            !exists(col("spans"), s =>
+              i.cast("long").between(s.getField("span_start"), s.getField("span_end"))))))
+          .as("clean_text"))
+  }
 }

@@ -742,6 +742,26 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("plan: span dedup shuffles only narrow (doc_id, pos, hash) rows — never text or token arrays") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.range(100).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(i => concat(lit("w"), col("id") % (i + 2))): _*).as("text"))
+      val plan = DedupOps.duplicateSpans(docs, n = 3).queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        e.output.foreach { a =>
+          assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            !a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+            s"text-sized column crosses an exchange: ${e.output.map(o => s"${o.name}:${o.dataType.simpleString}")}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("grounder build aggregates by normalized pattern BEFORE collect (distributed groupBy)") {
     import graft.ground.Grounder
     // 1000 raw rows but only 3 distinct normalized patterns, spread over partitions
@@ -828,6 +848,40 @@ class OperatorSpec extends AnyFunSuite {
     val surv = DedupOps.minhashSurvivors(docs, threshold = 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(surv == Set(9L, 7L), surv.toString)
+  }
+
+  test("span dedup: cross-doc spans merge (overlap + adjacency), intra-doc repeats invisible") {
+    val docs = Seq(
+      // doc1 shares "p q r s t" (pos 2..6) and "x y z" (pos 9..11) with doc2
+      (1L, "a0 a1 p q r s t a7 a8 x y z a12"),
+      // doc2 carries them back-to-back: islands [0,2] and [3,7] are ADJACENT
+      // (pos 3 <= 0 + 3) and must merge to one maximal span [0,7]
+      (2L, "x y z p q r s t b8"),
+      // doc3 repeats "u v w" twice WITHIN itself only: min==max doc -> invisible
+      (3L, "u v w c3 u v w"),
+      // doc4 is shorter than n: contributes no grams, must not crash
+      (4L, "only two")).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 2L, 6L), (1L, 9L, 11L), (2L, 0L, 7L)), spans.toString)
+    // a one-token hole keeps islands apart: doc5/doc6 share two grams whose
+    // coverage has a gap at pos 3 (pos 4 > 0 + 3) -> two spans, not one
+    val holed = Seq(
+      (5L, "h0 h1 h2 zz h4 h5 h6"),
+      (6L, "h0 h1 h2 qq h4 h5 h6")).toDF("doc_id", "text")
+    val holedSpans = DedupOps.duplicateSpans(holed, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(holedSpans == Set((5L, 0L, 2L), (5L, 4L, 6L), (6L, 0L, 2L), (6L, 4L, 6L)),
+      holedSpans.toString)
+
+    // the cleaning decision: flagged spans' tokens removed, others untouched
+    val cleaned = DedupOps.removeDuplicateSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(
+      1L -> "a0 a1 a7 a8 a12",
+      2L -> "b8",
+      3L -> "u v w c3 u v w",
+      4L -> "only two"), cleaned.toString)
   }
 
   test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
