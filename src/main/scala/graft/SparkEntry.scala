@@ -389,6 +389,21 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.duplicateSpans(docs(s, dir).select("doc_id", "text"), n = 8)),
 
+    // --- retrieval: inverted-index BM25 top-5 for probes drawn from the
+    // corpus (first 6 normalized tokens of docs 0..4 — a probe always finds
+    // its own source doc). Oracle: DuckDB rebuilds postings/df on term
+    // STRINGS and mirrors the fixed-association double contribution with the
+    // same DECIMAL(28,8)-before-sum rounding, so aggregation order can never
+    // flip a rank on either side.
+    "q_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(split(DedupOps.normText(col("text")), " "), 1, 6)).as("qtext"))
+      graft.operators.RetrievalOps.bm25TopK(d, queries, k = 5)
+    }),
+
     // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
     "q_media_features" -> ((s, _) => {
       graft.operators.MultimodalOps.extractFeatures(
@@ -1156,6 +1171,51 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |       CAST(max(pos) + 7 AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, isl""".stripMargin,
+
+    // Every double op mirrors the Spark expression's association exactly;
+    // non-representable constants (k1+1) are COMPUTED identically on both
+    // sides rather than written as literals (1.2+1.0 may round differently
+    // than the literal 2.2).
+    "q_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM d),
+        |post AS (
+        |  SELECT doc_id, len(toks) AS dl, t AS term, count(*) AS tf
+        |  FROM d, LATERAL (SELECT unnest(toks) AS t)
+        |  GROUP BY doc_id, len(toks), t),
+        |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term
+        |  FROM d WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(
+        |      ln(CAST(1.0 AS DOUBLE) +
+        |         (CAST(s.n_docs AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE))
+        |         / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (p.tf + CAST(1.2 AS DOUBLE) *
+        |         ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
+        |    AS DECIMAL(28,8)) AS w
+        |  FROM q
+        |  JOIN dfreq f ON f.term = q.term
+        |  JOIN post p ON p.term = q.term
+        |  CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(w) AS DOUBLE) AS score
+        |  FROM scored GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 60-bit signature reassembled from per-bit vote sums; bits 60-63 of

@@ -884,6 +884,79 @@ class OperatorSpec extends AnyFunSuite {
       4L -> "only two"), cleaned.toString)
   }
 
+  test("bm25: matches a first-principles recomputation; self-retrieval ranks first; k cutoff") {
+    val corpus = Seq(
+      (0L, "spark shuffles narrow keys across the cluster"),
+      (1L, "the cluster shuffles data and the cluster scales"),
+      (2L, "narrow keys win at scale"),
+      (3L, "completely unrelated prose about gardening roses"),
+      (4L, "spark spark spark keys"))
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq((100L, "spark narrow keys"), (200L, "the cluster")).toDF("query_id", "qtext")
+    val got = RetrievalOps.bm25TopK(docs, queries, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+
+    // first-principles recomputation with the operator's exact conventions:
+    // distinct query terms, positive idf, DECIMAL(28,8) HALF_UP per-term
+    // rounding before the sum (Spark's double->decimal cast mode)
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / corpus.size
+    def df(term: String) = toks.values.count(_.contains(term)).toLong
+    def score(qterms: Seq[String], d: Long): Double =
+      qterms.distinct.flatMap { t =>
+        val tf = toks(d).count(_ == t).toLong
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val c = idf * (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * toks(d).size / avgdl))
+          Some(BigDecimal(c).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }.sum.toDouble
+    def expectTop(qid: Long, qt: Seq[String]): Seq[(Long, Double)] =
+      corpus.map(_._1).map(d => d -> score(qt, d)).filter(_._2 > 0)
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+    expectTop(100L, Seq("spark", "narrow", "keys")).zipWithIndex.foreach { case ((d, s), i) =>
+      assert(got((100L, i + 1)) == ((d, s)), s"q100 rank ${i + 1}: got ${got((100L, i + 1))} want ($d,$s)")
+    }
+    expectTop(200L, Seq("the", "cluster")).zipWithIndex.foreach { case ((d, s), i) =>
+      assert(got((200L, i + 1)) == ((d, s)), s"q200 rank ${i + 1}: got ${got((200L, i + 1))} want ($d,$s)")
+    }
+    // a verbatim document used as the query retrieves itself at rank 1
+    val self = RetrievalOps.bm25TopK(docs,
+        Seq((9L, corpus(3)._2)).toDF("query_id", "qtext"), k = 2)
+      .filter(col("rank") === 1).collect()
+    assert(self.length == 1 && self(0).getLong(1) == 3L)
+    // k bounds the output per query
+    assert(RetrievalOps.bm25TopK(docs, queries, k = 1).collect().length == 2)
+  }
+
+  test("plan: bm25 broadcasts only the query side; no strings cross any exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.range(300).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 15).map(i => concat(lit("t"), col("id") % (i + 2))): _*).as("text"))
+      val queries = Seq((1L, "t0 t1 t2")).toDF("query_id", "qtext")
+      val plan = RetrievalOps.bm25TopK(docs, queries, k = 5).queryExecution.executedPlan
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(bhj.size == 2 && smj.isEmpty,
+        s"expected 2 broadcast joins (df lookup + postings probe), got bhj=${bhj.size} smj=${smj.size}")
+      // terms are hashed BEFORE any exchange: corpus-sized shuffles and the
+      // broadcast sides alike carry only fixed-width columns
+      plan.foreach {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          e.output.foreach(a =>
+            assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+              s"string crosses ${e.getClass.getSimpleName}: ${e.output.map(_.name)}"))
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
     import graft.sources.OboGraphReader
     val ont = graft.fixtures.MiniOntology.writeTo("target/fixtures")
