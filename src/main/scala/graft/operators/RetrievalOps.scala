@@ -61,15 +61,24 @@ object RetrievalOps {
    */
   def bm25TopK(documents: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val post = postings(documents)
     // corpus constants: ONE bounded driver action (a single aggregate row);
     // sums are exact longs so the derived avgdl double is reproducible
     val stats = documents
       .select(size(split(DedupOps.normText(col("text")), " ")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
+    scoreTopK(postings(documents), queries,
+      nDocs = stats.getLong(0), sumDl = stats.getLong(1), k, k1, b)
+  }
+
+  /** Shared BM25 scorer: identical math (and therefore identical plans and
+    * identical rounded scores) whether `post` is computed in-query or read
+    * back pruned from [[writePostingsIndex]] storage. `sumDl`/`nDocs` are
+    * exact longs so `avgdl` reproduces bit-for-bit across both paths. */
+  private def scoreTopK(post: DataFrame, queries: DataFrame,
+                        nDocs: Long, sumDl: Long, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val avgdl = sumDl.toDouble / nDocs
 
     val qterms = queries
       .select(col("query_id"),
@@ -98,4 +107,130 @@ object RetrievalOps {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score", "rank")
   }
+
+  // --------------------------------------------------------------------
+  // STORED postings index — the steady-state shape. Re-tokenizing 100 TB
+  // per query batch is the cost the inverted index exists to remove:
+  // postings are persisted ONCE, partitioned by a coarse term bucket, and
+  // a query batch's bucket set becomes STATIC partition filters — a
+  // 5-term query opens ~5/nBuckets of the postings, not the corpus.
+  // Layout (the writeIvfPq conventions):
+  //   path/_retrieval_meta/            nBuckets (pruning is WRONG under a
+  //                                    different bucket count — rides the index)
+  //   path/postings/batch_id=N/tb=B/   (doc_id, dl, th, tf)
+  //   path/stats/batch_id=N/           one (n_docs, sum_dl) row per batch —
+  //                                    exact longs, summed at query time, so
+  //                                    stored avgdl/idf match the in-memory
+  //                                    path bit-for-bit
+  // batch_id=N makes ingest idempotent (a replayed batch OVERWRITES its own
+  // subtree); FoldSwap compaction folds the daily small files back to ~one
+  // file per bucket.
+  // --------------------------------------------------------------------
+
+  private def metaDir(path: String) = s"$path/_retrieval_meta"
+
+  /** Bucket count persisted with the index by [[writePostingsIndex]]. */
+  def readPostingsMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metaDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no retrieval metadata at ${metaDir(path)} — not writePostingsIndex " +
+        "storage (a bucket count guessed at query time would silently " +
+        "prune the WRONG partitions)")
+    spark.read.parquet(p.toString).head().getInt(0)
+  }
+
+  /** FULL REBUILD of a stored postings index: clears any existing index
+    * (prior batches bucketed under a different nBuckets would mis-prune),
+    * persists nBuckets, ingests `documents` as batch 0. Grow nBuckets with
+    * corpus size — the probe cost of a Q-term query is Q/nBuckets of the
+    * postings, the floor is one file set per probed bucket. */
+  def writePostingsIndex(documents: DataFrame, path: String,
+                         nBuckets: Int = 256): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = documents.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
+    appendPostingsIndex(documents, path, batchId = 0L)
+  }
+
+  /** Incremental postings INGEST: tokenize and band the BATCH only — the
+    * historical postings are never read or rewritten (per-batch cost is
+    * batch-sized forever). Caller contract: doc_ids are globally unique
+    * across batches (the appendIvfPq vec_id contract — a re-ingested
+    * doc_id would double its term frequencies). IDEMPOTENT per batch id;
+    * REFUSES ids at or below the compaction watermark (their overwrite
+    * subtree was folded away — a replay would duplicate postings). */
+  def appendPostingsIndex(documents: DataFrame, path: String,
+                          batchId: Long): Unit = {
+    val spark = documents.sparkSession
+    val nBuckets = readPostingsMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val w = graft.icelite.FoldSwap.compactedThrough(fs, s"$path/postings")
+    require(batchId > w,
+      s"appendPostingsIndex batch_id=$batchId is already folded into this " +
+        s"index by compaction (compacted through $w) — replay under a fresh " +
+        "batch id or rebuild with writePostingsIndex")
+    postings(documents)
+      .withColumn("tb", pmod(col("th"), lit(nBuckets.toLong)).cast("int"))
+      // key-aligned shuffle before the partitioned write: ~1 file per
+      // bucket per batch, not tasks×buckets (the appendIvfPq finding)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings/batch_id=$batchId")
+    documents
+      .select(size(split(DedupOps.normText(col("text")), " ")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats/batch_id=$batchId")
+  }
+
+  /** BM25 top-k over [[writePostingsIndex]] storage: the query batch's
+    * distinct term buckets (bounded by min(query terms, nBuckets) — a
+    * driver literal is what makes the scan PRUNE instead of post-filter)
+    * become static partition filters; document frequency is re-derived
+    * from the pruned scan (every posting of a term lives in its one
+    * bucket, so pruned df = global df). Scores are EXACTLY [[bm25TopK]]'s
+    * on the union of ingested batches. */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nBuckets = readPostingsMeta(spark, path)
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
+    val buckets = queries
+      .select(explode(array_distinct(
+        split(DedupOps.normText(col("qtext")), " "))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .select("doc_id", "dl", "th", "tf")
+    scoreTopK(post, queries,
+      nDocs = st.getLong(0), sumDl = st.getLong(1), k, k1, b)
+  }
+
+  /** Steady-state index MAINTENANCE: fold every `batch_id=N` postings
+    * subtree into one with ~one file per bucket (after D daily appends a
+    * Q-term query opens Q×D file sets; the fold restores Q). Crash safety
+    * and the replay-refusal watermark are [[graft.icelite.FoldSwap]]'s
+    * contract. Stats sidecars stay per-batch (one row each — never the
+    * files problem). Returns the watermark. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession, path: String,
+                      failAt: Option[String] = None): Long =
+    graft.icelite.FoldSwap.compact(spark, s"$path/postings", "batch_id=",
+      selectFoldable = identity,
+      stage = (tmp, _, target) => {
+        spark.read.parquet(s"$path/postings")
+          .filter(col("batch_id") <= target).drop("batch_id")
+          .repartition(col("tb"))
+          .write.partitionBy("tb").parquet(tmp)
+      },
+      failAt = failAt)
 }

@@ -1083,6 +1083,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/_compact_tmp")), "staging leaked")
   }
 
+  test("BM25 stored postings: partition-pruned probe, scores exactly equal the in-memory path across batches") {
+    import spark.implicits._
+    import graft.operators.RetrievalOps
+    def mkDocs(from: Int, until: Int) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 3) + i, lit(40)))): _*).as("text"))
+    val path = "target/fixtures/bm25_stored_" + System.nanoTime()
+    RetrievalOps.writePostingsIndex(mkDocs(0, 150), path, nBuckets = 32)
+    RetrievalOps.appendPostingsIndex(mkDocs(150, 200), path, batchId = 1)
+    val queries = Seq((1L, "w3 w17 w5"), (2L, "w0 w1 w1")).toDF("query_id", "qtext")
+    val got = RetrievalOps.bm25TopKStored(spark, path, queries, k = 4)
+    // EXACT equality incl. the double score: the stored path must reproduce
+    // the in-memory math bit-for-bit (same decimal rounding, same avgdl)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(key(got) == key(RetrievalOps.bm25TopK(mkDocs(0, 200), queries, k = 4)))
+    // the postings scan PRUNES to the query terms' buckets — storage-level
+    // pruning, not a post-scan filter
+    val planTxt = got.queryExecution.executedPlan.toString
+    assert(planTxt.contains("PartitionFilters: [tb"), planTxt.take(2000))
+    // querying a non-index path fails loudly, not with guessed pruning
+    val ex = intercept[IllegalStateException] {
+      RetrievalOps.bm25TopKStored(spark, path + "_nope", queries, k = 4)
+    }
+    assert(ex.getMessage.contains("no retrieval metadata"), ex.getMessage)
+  }
+
+  test("BM25 postings compaction: idempotent re-append, fold keeps scores, folded replay refused") {
+    import spark.implicits._
+    import graft.operators.RetrievalOps
+    def mkDocs(from: Int, until: Int) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 3) + i, lit(40)))): _*).as("text"))
+    val path = "target/fixtures/bm25_compact_" + System.nanoTime()
+    RetrievalOps.writePostingsIndex(mkDocs(0, 120), path, nBuckets = 16)
+    RetrievalOps.appendPostingsIndex(mkDocs(120, 160), path, batchId = 1)
+    // a retried ingest job OVERWRITES its own batch subtree — no row dup
+    RetrievalOps.appendPostingsIndex(mkDocs(120, 160), path, batchId = 1)
+    val queries = Seq((1L, "w7 w21"), (2L, "w2 w30 w11")).toDF("query_id", "qtext")
+    def key() = RetrievalOps.bm25TopKStored(spark, path, queries, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = key()
+    assert(want == RetrievalOps.bm25TopK(mkDocs(0, 160), queries, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap,
+      "replayed append duplicated postings")
+    val rowsBefore = spark.read.parquet(s"$path/postings").count()
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path, "postings"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    def batchDirs() = new java.io.File(s"$path/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val filesBefore = dataFiles()
+    assert(batchDirs() == 2)
+
+    assert(RetrievalOps.compactPostings(spark, path) == 1L)
+    assert(batchDirs() == 1, "fold left multiple batch subtrees")
+    assert(dataFiles() < filesBefore, s"fold did not reduce files ($filesBefore -> ${dataFiles()})")
+    assert(spark.read.parquet(s"$path/postings").count() == rowsBefore,
+      "fold lost/duplicated postings rows")
+    assert(key() == want, "fold changed stored scores")
+
+    // replaying a FOLDED batch would duplicate its postings — refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      RetrievalOps.appendPostingsIndex(mkDocs(120, 160), path, batchId = 1)
+    }
+    assert(ex.getMessage.contains("already folded"), ex.getMessage)
+
+    // ingest continues above the watermark; a later fold picks it up
+    RetrievalOps.appendPostingsIndex(mkDocs(160, 180), path, batchId = 2)
+    assert(key() == RetrievalOps.bm25TopK(mkDocs(0, 180), queries, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap)
+    assert(RetrievalOps.compactPostings(spark, path) == 2L)
+    assert(batchDirs() == 1)
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
