@@ -106,4 +106,21 @@ object Dials {
   def embeddingPlanes(corpusSize: Long): Int =
     math.min(62,
       math.ceil(math.log(math.max(corpusSize, 2).toDouble) / math.log(2.0)).toInt + 4)
+
+  /**
+   * Stored-postings bucket count (`RetrievalOps.writePostingsIndex`): the
+   * next power of two of corpusDocs/4000, floored at 16 (below that the
+   * per-bucket file sets are smaller than one parquet row group — pruning
+   * saves nothing) and capped at 4096 (partition-DIRECTORY count is a
+   * listing cost every query pays; past the cap, buckets grow with the
+   * corpus instead, and the splits inside a probed bucket parallelize
+   * across executors — probe cost per term stays ~corpus/4096 reads, which
+   * is the scan's floor anyway once a bucket exceeds one split).
+   */
+  def retrievalBuckets(corpusDocs: Long): Int = {
+    require(corpusDocs >= 1, s"bad corpus size $corpusDocs")
+    val want = math.max(1.0, corpusDocs.toDouble / 4000.0)
+    val pow = math.ceil(math.log(want) / math.log(2.0)).toInt
+    math.min(4096, math.max(16, 1 << math.min(12, pow)))
+  }
 }

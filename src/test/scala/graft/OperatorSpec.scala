@@ -1056,6 +1056,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dials.embeddingPlanes(55000L) == 20)
     assert(Dials.embeddingPlanes(500L) == 13)
     assert(Dials.embeddingPlanes(1000000000L) == 34)
+    // stored-postings buckets: power-of-two ladder between the 16 floor
+    // (pruning below one row group saves nothing) and the 4096 directory cap
+    assert(Dials.retrievalBuckets(1000L) == 16)
+    assert(Dials.retrievalBuckets(50000L) == 16)
+    assert(Dials.retrievalBuckets(500000L) == 128) // the RetrievalProbe corpus
+    assert(Dials.retrievalBuckets(1000000000000L) == 4096)
   }
 
   // ---------------- incremental-dedup store layout ----------------
