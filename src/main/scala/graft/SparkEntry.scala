@@ -404,6 +404,13 @@ object SparkEntry {
       graft.operators.RetrievalOps.bm25TopK(d, queries, k = 5)
     }),
 
+    // --- quality: add-0.5-smoothed bigram LM average log-prob per doc
+    // (CCNet-style perplexity feature). Oracle: DuckDB retrains the same
+    // counts on term STRINGS and mirrors the fixed-association transition
+    // expression with the same DECIMAL(28,8)-before-sum rounding.
+    "q_lm_bigram" -> ((s, dir) =>
+      graft.operators.NgramLm.bigramLogProb(docs(s, dir).select("doc_id", "text"))),
+
     // --- multimodal plumbing: synthetic media → stub-decoded feature vectors
     "q_media_features" -> ((s, _) => {
       graft.operators.MultimodalOps.extractFeatures(
@@ -1216,6 +1223,35 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM agg)
         |WHERE rank <= 5""".stripMargin,
+
+    // Mirrors NgramLm.bigramLogProb: counts retrained on term strings,
+    // V from a subquery (the engine inlines the same integer), transition
+    // expression association identical, DECIMAL(28,8) before the sum.
+    "q_lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |uni AS (SELECT t AS term FROM d, LATERAL (SELECT unnest(toks) AS t)),
+        |c1 AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+        |vocab AS (SELECT count(DISTINCT term) AS v FROM uni),
+        |big AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT big.doc_id,
+        |    CAST(ln((c2.c + CAST(0.5 AS DOUBLE))
+        |             / (c1.c + CAST(0.5 AS DOUBLE) * s.v))
+        |      AS DECIMAL(28,8)) AS w
+        |  FROM big
+        |  JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+        |  JOIN c1 ON big.w1 = c1.term
+        |  CROSS JOIN vocab s)
+        |SELECT doc_id, count(*) AS n_trans,
+        |       CAST(sum(w) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 60-bit signature reassembled from per-bit vote sums; bits 60-63 of

@@ -957,6 +957,85 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bigram LM: matches a first-principles recomputation; short docs excluded; degenerate doc is an outlier") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the cat"),
+      (2L, "zz zz zz zz zz zz"),
+      (3L, "one"),
+      (4L, "assorted tokens never repeat anywhere sat"))
+    val got = graft.operators.NgramLm.bigramLogProb(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "single-token doc must have no transitions")
+
+    // first-principles: same conventions (add-0.5, DECIMAL(28,8) HALF_UP
+    // per transition before the sum, double division by n at the end)
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val all = toks.values.flatten.toSeq
+    val c1 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = all.distinct.size.toDouble
+    val c2 = toks.values.flatMap(ts => ts.zip(ts.tail)).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def expect(d: Long): (Long, Double) = {
+      val trans = toks(d).zip(toks(d).tail)
+      val s = trans.map { case (w1, w2) =>
+        val c = math.log((c2((w1, w2)) + 0.5) / (c1(w1) + 0.5 * vocab))
+        BigDecimal(c).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (trans.size.toLong, s.toDouble / trans.size)
+    }
+    for (d <- Seq(0L, 1L, 2L, 4L))
+      assert(got(d) == expect(d), s"doc $d: got ${got(d)} want ${expect(d)}")
+    // self-trained model memorizes the repeated-token doc: far above the rest
+    assert(got(2L)._2 > got(0L)._2 && got(2L)._2 > got(4L)._2)
+  }
+
+  test("bigram LM vs reference: self≡Vs on the same corpus; unseen transitions hit the smoothing floor") {
+    import graft.operators.NgramLm
+    val ref = Seq(
+      (0L, "alpha beta gamma alpha beta"),
+      (1L, "beta gamma delta")).toDF("doc_id", "text")
+    // target eq reference: the left joins never miss, identical output
+    val self = NgramLm.bigramLogProb(ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vs = NgramLm.bigramLogProbVs(ref, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(self == vs)
+
+    // a fully-unseen target: every transition has c2=0 and unseen w1 ⇒
+    // c1=0 too — the uniform floor ln(0.5/(0.5·V)) = −ln V, per transition
+    val target = Seq((9L, "zeta eta theta")).toDF("doc_id", "text")
+    val got = NgramLm.bigramLogProbVs(target, ref).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+    val vocab = 4.0 // alpha beta gamma delta
+    val floor = BigDecimal(math.log(0.5 / (0.5 * vocab)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(2) == floor, s"${got(0).getDouble(2)} vs $floor")
+    // seen predecessor + unseen bigram: c1 attested, c2=0
+    val t2 = Seq((8L, "beta zeta")).toDF("doc_id", "text")
+    val g2 = NgramLm.bigramLogProbVs(t2, ref).collect()(0).getDouble(2)
+    val w2 = BigDecimal(math.log(0.5 / (3L + 0.5 * vocab)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2 == w2, s"$g2 vs $w2")
+  }
+
+  test("plan: bigram LM — tokens leave the scan hashed, no strings cross any exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.range(200).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(i => concat(lit("t"), col("id") % (i + 2))): _*).as("text"))
+      val plan = graft.operators.NgramLm.bigramLogProb(docs)
+        .queryExecution.executedPlan
+      plan.foreach {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          e.output.foreach(a =>
+            assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+              s"string crosses ${e.getClass.getSimpleName}: ${e.output.map(_.name)}"))
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
     import graft.sources.OboGraphReader
     val ont = graft.fixtures.MiniOntology.writeTo("target/fixtures")
