@@ -78,7 +78,9 @@ object Demo {
     * composed ANN index APPEND (quantizers trained once on day 1, later
     * days load them from the [[graft.operators.SimilarityOps.readIndexMeta]]
     * sidecar and pass the [[graft.operators.SimilarityOps.ivfDrift]] gate —
-    * nothing retrains unless drift warrants it) → store retention.
+    * nothing retrains unless drift warrants it) → stored BM25 postings
+    * APPEND ([[graft.operators.RetrievalOps]] — the batch is tokenized
+    * once, history never re-read) → store retention.
     * Cross-batch invariants
     * are ASSERTED, not just printed: re-crawled texts die against history,
     * store snapshot ids are monotone with retention holding keepLast=2, and
@@ -96,6 +98,7 @@ object Demo {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (inDir, outDir, ckDir, idxDir) =
       (s"$base/in", s"$base/corpus", s"$base/ck", s"$base/ann_index")
+    val bmDir = s"$base/bm25_index"
     val ic = new Icelite(s"$base/icelite")
 
     def dayDocs(day: Int) = {
@@ -145,6 +148,15 @@ object Demo {
         driftRatios :+= drift.meanRatio
         SimilarityOps.appendIvfPq(vecs, meta.index, meta.codebooks, idxDir, batchId = day - 1L)
       }
+      // the retrieval index rides the same daily loop: day 1 builds the
+      // stored postings, later days append ONLY the batch (history is
+      // never re-tokenized)
+      if (day == 1)
+        graft.operators.RetrievalOps.writePostingsIndex(survivors, bmDir,
+          graft.operators.Dials.retrievalBuckets(1000L))
+      else
+        graft.operators.RetrievalOps.appendPostingsIndex(survivors, bmDir,
+          batchId = day - 1L)
       survivorCounts :+= survivors.count()
       storeIds :+= storeId
     }
@@ -203,6 +215,32 @@ object Demo {
         meta.index, meta.codebooks, idxDir, batchId = 1L)).isFailure
     assert(replayRefused, "replay of a compaction-folded batch id was accepted")
 
+    // the RETRIEVAL index answers over all appended batches, exactly as the
+    // in-memory path would over the full retained corpus; its daily small
+    // files fold with no score change
+    val allSurvivors = spark.read.schema(StreamingDedup.docSchema)
+      .parquet(outDir).select("doc_id", "text")
+    val bmQueries = allSurvivors.filter(col("doc_id").isin(1001L, 2002L))
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(
+          graft.operators.DedupOps.normText(col("text")), " "), 1, 4)).as("qtext"))
+    def bmKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toSet
+    val bmStored = bmKey(graft.operators.RetrievalOps.bm25TopKStored(
+      spark, bmDir, bmQueries, k = 5))
+    assert(bmStored.nonEmpty &&
+      bmStored == bmKey(graft.operators.RetrievalOps.bm25TopK(
+        allSurvivors, bmQueries, k = 5)),
+      "stored BM25 diverged from the in-memory path over the retained corpus")
+    def postingsDirs() = new java.io.File(s"$bmDir/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    val postingsBefore = postingsDirs()
+    val bmFolded = graft.operators.RetrievalOps.compactPostings(spark, bmDir)
+    assert(bmFolded == 2L, s"postings compacted through $bmFolded, want 2")
+    assert(bmKey(graft.operators.RetrievalOps.bm25TopKStored(
+      spark, bmDir, bmQueries, k = 5)) == bmStored,
+      "postings compaction changed BM25 results")
+
     // same maintenance for the retained-corpus HISTORY: the two committed
     // batch dirs fold into one doc_id-bucketed dir (the highest, still-
     // replayable one is never folded) with no row lost
@@ -219,6 +257,7 @@ object Demo {
       s"store_snapshots=${storeIds.mkString("->")} retained_manifests=$retained " +
       s"index_version=${meta.version} index_rows=$indexRows ann_ok=true " +
       f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")} " +
-      s"compacted_through=$foldedThrough history_dirs=$historyBefore->${historyDirs()}")
+      s"compacted_through=$foldedThrough history_dirs=$historyBefore->${historyDirs()} " +
+      s"bm25_ok=true postings_dirs=$postingsBefore->${postingsDirs()}")
   }
 }
