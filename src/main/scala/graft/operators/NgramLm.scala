@@ -75,6 +75,9 @@ object NgramLm {
     val c1 = uni.groupBy("h1").agg(count(lit(1)).as("c1"))
     // vocabulary size: one bounded driver action, inlined as a literal
     val v = uni.agg(count_distinct(col("h1"))).head().getLong(0)
+    require(v > 0,
+      "bigram LM trained on an EMPTY reference corpus — every smoothed " +
+        "probability would divide by zero; train on a non-empty corpus")
     val pairs = transitions(target)
     val c2 = transitions(reference).groupBy("h12").agg(count(lit(1)).as("c2"))
 

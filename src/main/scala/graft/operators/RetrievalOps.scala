@@ -66,6 +66,9 @@ object RetrievalOps {
     val stats = documents
       .select(size(split(DedupOps.normText(col("text")), " ")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    require(stats.getLong(0) > 0,
+      "bm25TopK over an EMPTY corpus — no documents to rank (and avgdl " +
+        "would be 0/0); score against a non-empty corpus")
     scoreTopK(postings(documents), queries,
       nDocs = stats.getLong(0), sumDl = stats.getLong(1), k, k1, b)
   }
@@ -165,7 +168,12 @@ object RetrievalOps {
     * across batches (the appendIvfPq vec_id contract — a re-ingested
     * doc_id would double its term frequencies). IDEMPOTENT per batch id;
     * REFUSES ids at or below the compaction watermark (their overwrite
-    * subtree was folded away — a replay would duplicate postings). */
+    * subtree was folded away — a replay would duplicate postings). A crash
+    * between the postings write and the stats write leaves the batch's
+    * df/tf visible but its docs uncounted in N/avgdl — the recovery
+    * contract is the streaming one: REPLAY the interrupted batch id (both
+    * writes are overwrites) before trusting query scores, exactly as
+    * StreamingDedup replays uncommitted batches. */
   def appendPostingsIndex(documents: DataFrame, path: String,
                           batchId: Long): Unit = {
     val spark = documents.sparkSession
@@ -204,6 +212,9 @@ object RetrievalOps {
     val nBuckets = readPostingsMeta(spark, path)
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
+    require(!st.isNullAt(0) && st.getLong(0) > 0,
+      s"postings index at $path holds ZERO documents (every ingested batch " +
+        "was empty) — nothing to rank")
     val buckets = queries
       .select(explode(array_distinct(
         split(DedupOps.normText(col("qtext")), " "))).as("term"))

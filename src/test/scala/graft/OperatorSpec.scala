@@ -930,6 +930,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(self.length == 1 && self(0).getLong(1) == 3L)
     // k bounds the output per query
     assert(RetrievalOps.bm25TopK(docs, queries, k = 1).collect().length == 2)
+    // an empty corpus fails loudly (avgdl would be 0/0), never NPEs
+    val ex = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25TopK(docs.filter(col("doc_id") < 0), queries, k = 1)
+    }
+    assert(ex.getMessage.contains("EMPTY corpus"), ex.getMessage)
   }
 
   test("plan: bm25 broadcasts only the query side; no strings cross any exchange") {
@@ -1017,6 +1022,11 @@ class OperatorSpec extends AnyFunSuite {
     val w2 = BigDecimal(math.log(0.5 / (3L + 0.5 * vocab)))
       .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(g2 == w2, s"$g2 vs $w2")
+    // an empty reference fails loudly (every probability divides by zero)
+    val ex = intercept[IllegalArgumentException] {
+      NgramLm.bigramLogProbVs(t2, ref.filter(col("doc_id") < 0))
+    }
+    assert(ex.getMessage.contains("EMPTY reference"), ex.getMessage)
   }
 
   test("plan: bigram LM — tokens leave the scan hashed, no strings cross any exchange") {

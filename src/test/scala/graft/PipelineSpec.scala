@@ -1109,6 +1109,13 @@ class PipelineSpec extends AnyFunSuite {
       RetrievalOps.bm25TopKStored(spark, path + "_nope", queries, k = 4)
     }
     assert(ex.getMessage.contains("no retrieval metadata"), ex.getMessage)
+    // an index whose every ingested batch was empty also fails loudly
+    RetrievalOps.writePostingsIndex(
+      mkDocs(0, 150).filter(col("doc_id") < 0), path + "_empty", nBuckets = 8)
+    val exEmpty = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25TopKStored(spark, path + "_empty", queries, k = 4)
+    }
+    assert(exEmpty.getMessage.contains("ZERO documents"), exEmpty.getMessage)
   }
 
   test("BM25 postings compaction: idempotent re-append, fold keeps scores, folded replay refused") {
