@@ -1169,6 +1169,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(batchDirs() == 1)
   }
 
+  test("BM25 postings compaction crash safety: pre-commit discards staging, post-commit rerun finishes") {
+    import spark.implicits._
+    import graft.operators.RetrievalOps
+    def mkDocs(from: Int, until: Int) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 3) + i, lit(40)))): _*).as("text"))
+    val queries = Seq((1L, "w7 w21")).toDF("query_id", "qtext")
+    def build(): String = {
+      val p = "target/fixtures/bm25_crash_" + System.nanoTime()
+      RetrievalOps.writePostingsIndex(mkDocs(0, 100), p, nBuckets = 8)
+      RetrievalOps.appendPostingsIndex(mkDocs(100, 140), p, batchId = 1)
+      p
+    }
+    def key(p: String) = RetrievalOps.bm25TopKStored(spark, p, queries, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toSet
+    val fs = new org.apache.hadoop.fs.Path("target").getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+    // crash BEFORE the watermark commit: sources intact, rerun redoes the fold
+    val p1 = build()
+    val want1 = key(p1)
+    intercept[RuntimeException] {
+      RetrievalOps.compactPostings(spark, p1, failAt = Some("before-commit"))
+    }
+    assert(graft.icelite.FoldSwap.compactedThrough(fs, s"$p1/postings") == -1L)
+    assert(key(p1) == want1, "pre-commit crash changed visible scores")
+    assert(RetrievalOps.compactPostings(spark, p1) == 1L)
+    assert(key(p1) == want1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p1/postings/_compact_tmp")))
+
+    // crash AFTER the commit: watermark in, rerun finishes the swap
+    val p2 = build()
+    val want2 = key(p2)
+    intercept[RuntimeException] {
+      RetrievalOps.compactPostings(spark, p2, failAt = Some("after-commit"))
+    }
+    assert(graft.icelite.FoldSwap.compactedThrough(fs, s"$p2/postings") == 1L)
+    assert(key(p2) == want2, "post-commit crash window shows wrong scores")
+    assert(RetrievalOps.compactPostings(spark, p2) == 1L)
+    assert(key(p2) == want2)
+    val dirs2 = new java.io.File(s"$p2/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs2 == 1, s"rerun did not finish the swap: $dirs2 batch dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/postings/_compact_tmp")))
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
