@@ -404,6 +404,24 @@ object SparkEntry {
       graft.operators.RetrievalOps.bm25TopK(d, queries, k = 5)
     }),
 
+    // --- retrieval: HYBRID sparse+dense — BM25 and exact-cosine legs (each
+    // top-10) fused by reciprocal-rank fusion, top-5 per query. Fusing on
+    // RANKS makes the oracle exact: DuckDB replays both legs (the q_bm25_topk
+    // and q_ann_topk oracles verbatim at pool depth 10) and the same
+    // fixed-association 1/(60+r) sum — no cross-engine score calibration on
+    // the value path.
+    "q_retrieval_hybrid" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ",
+            slice(split(DedupOps.normText(col("text")), " "), 1, 6)).as("qtext"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec")), Seq("query_id"))
+      graft.operators.RetrievalOps.hybridTopK(d, emb, queries, k = 5, poolK = 10)
+    }),
+
     // --- quality: add-0.5-smoothed bigram LM average log-prob per doc
     // (CCNet-style perplexity feature). Oracle: DuckDB retrains the same
     // counts on term STRINGS and mirrors the fixed-association transition
@@ -446,6 +464,17 @@ object SparkEntry {
     "q_media_gif" -> ((s, _) =>
       graft.operators.MultimodalOps.imageStats(
         graft.operators.MultimodalOps.syntheticGifMedia(s, 100)).toDF()),
+
+    // --- multimodal RESIZE stage: decode real PNGs → nearest-neighbor
+    // resize to 16×12 (a mix of up- and down-scaling across ids) →
+    // re-encode as BMP → decode again for the stats. The oracle recomputes
+    // the resized sums from the generation formulas through the same
+    // floor-division source-pixel map, so the whole
+    // decode→resize→encode→decode chain is value-checked.
+    "q_media_resize" -> ((s, _) =>
+      graft.operators.MultimodalOps.imageStats(
+        graft.operators.MultimodalOps.resizeImages(
+          graft.operators.MultimodalOps.syntheticPngMedia(s, 100), 16, 12)).toDF()),
 
     // --- int8-quantized ANN: the embedding STORAGE dial (4× fewer vector
     // bytes through every scan/cache/shuffle). Rounding is floor(x+0.5) —
@@ -694,6 +723,47 @@ object SparkEntry {
       |  FROM scored)
       |SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** BM25 scoring CTE chain (tokenize → postings → df → query terms →
+    * DECIMAL(28,8) contributions → per-(query, doc) score), shared by
+    * q_bm25_topk and the q_retrieval_hybrid sparse leg — one definition so
+    * the legs can never drift from the gated scorer. Mirrors
+    * RetrievalOps.bm25TopK exactly (association, casts, rounding). */
+  private val bm25AggCtes: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+      |  FROM d),
+      |post AS (
+      |  SELECT doc_id, len(toks) AS dl, t AS term, count(*) AS tf
+      |  FROM d, LATERAL (SELECT unnest(toks) AS t)
+      |  GROUP BY doc_id, len(toks), t),
+      |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |q AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term
+      |  FROM d WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST(
+      |      ln(CAST(1.0 AS DOUBLE) +
+      |         (CAST(s.n_docs AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE))
+      |         / (f.df + CAST(0.5 AS DOUBLE)))
+      |      * (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |      / (p.tf + CAST(1.2 AS DOUBLE) *
+      |         ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |          + CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
+      |    AS DECIMAL(28,8)) AS w
+      |  FROM q
+      |  JOIN dfreq f ON f.term = q.term
+      |  JOIN post p ON p.term = q.term
+      |  CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT query_id, doc_id, CAST(sum(w) AS DOUBLE) AS score
+      |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
 
   /** Shared PQ-assignment CTE prefix (e → a → c): per-subspace squared-L2
     * distance lists (the SAME left-assoc dim-order addition as
@@ -1184,45 +1254,47 @@ object SparkEntry {
     // sides rather than written as literals (1.2+1.0 may round differently
     // than the literal 2.2).
     "q_bm25_topk" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
-        |  FROM d),
-        |post AS (
-        |  SELECT doc_id, len(toks) AS dl, t AS term, count(*) AS tf
-        |  FROM d, LATERAL (SELECT unnest(toks) AS t)
-        |  GROUP BY doc_id, len(toks), t),
-        |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-        |q AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term
-        |  FROM d WHERE doc_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST(
-        |      ln(CAST(1.0 AS DOUBLE) +
-        |         (CAST(s.n_docs AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE))
-        |         / (f.df + CAST(0.5 AS DOUBLE)))
-        |      * (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-        |      / (p.tf + CAST(1.2 AS DOUBLE) *
-        |         ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
-        |          + CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
-        |    AS DECIMAL(28,8)) AS w
-        |  FROM q
-        |  JOIN dfreq f ON f.term = q.term
-        |  JOIN post p ON p.term = q.term
-        |  CROSS JOIN stats s),
-        |agg AS (
-        |  SELECT query_id, doc_id, CAST(sum(w) AS DOUBLE) AS score
-        |  FROM scored GROUP BY query_id, doc_id)
+      s"""WITH $bm25AggCtes
         |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, doc_id, score,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM agg)
         |WHERE rank <= 5""".stripMargin,
+
+    // Hybrid RRF fusion: both legs replayed verbatim (the q_bm25_topk CTEs
+    // and the q_ann_topk brute-force shape, each cut at pool depth 10), then
+    // the same fixed-association 1/(60+r) sum over the full-outer rank join.
+    "q_retrieval_hybrid" ->
+      s"""WITH $bm25AggCtes,
+        |sparse AS (
+        |  SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+        |    FROM agg) WHERE r <= 10),
+        |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |       FROM embeddings WHERE vec_id < 5),
+        |dsc AS (
+        |  SELECT qv.query_id, e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6) AS cos
+        |  FROM embeddings e CROSS JOIN qv),
+        |dense AS (
+        |  SELECT query_id, doc_id, r FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS r
+        |    FROM dsc) WHERE r <= 10),
+        |fused AS (
+        |  SELECT coalesce(s.query_id, dn.query_id) AS query_id,
+        |         coalesce(s.doc_id, dn.doc_id) AS doc_id,
+        |         coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + s.r),
+        |                  CAST(0.0 AS DOUBLE))
+        |       + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + dn.r),
+        |                  CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM sparse s FULL OUTER JOIN dense dn
+        |    ON s.query_id = dn.query_id AND s.doc_id = dn.doc_id)
+        |SELECT query_id, doc_id, round(rrf, 6) AS rrf, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused) WHERE rank <= 5""".stripMargin,
 
     // Mirrors NgramLm.bigramLogProb: counts retrained on term strings,
     // V from a subquery (the engine inlines the same integer), transition
@@ -1644,6 +1716,24 @@ object SparkEntry {
         |CROSS JOIN range(0, 35) xs(x)
         |CROSS JOIN range(0, 33) ys(y)
         |WHERE x < 11 + (id % 5) * 6 AND y < 9 + (id % 7) * 4
+        |GROUP BY id""".stripMargin,
+
+    // resizeNearest's source-pixel map (x*srcW/outW with floor division) over
+    // the q_media_png generation formulas: the oracle reads the SOURCE pixel
+    // each output pixel samples, so the decode→resize→encode→decode chain
+    // must reproduce it exactly
+    "q_media_resize" ->
+      """SELECT CAST(id AS BIGINT) AS media_id,
+        |       CAST(16 AS INT) AS width,
+        |       CAST(12 AS INT) AS height,
+        |       CAST(SUM((sx * 11 + sy * 5 + id) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((sx * 3 + sy * 13 + 5 * id) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((sx * 2 + sy * 7 + 11 * id) % 256) AS BIGINT) AS sum_b
+        |FROM range(0, 100) t(id)
+        |CROSS JOIN range(0, 16) xs(x)
+        |CROSS JOIN range(0, 12) ys(y),
+        |LATERAL (SELECT (x * (9 + (id % 6) * 7)) // 16 AS sx,
+        |                (y * (7 + (id % 4) * 9)) // 12 AS sy) m
         |GROUP BY id""".stripMargin,
 
     // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane

@@ -715,6 +715,62 @@ object MultimodalOps {
     else decodeBmp(b)
 
   /**
+   * Nearest-neighbor resize. Source pixel for output (x, y) is
+   * (x*srcW/outW, y*srcH/outH) with floor integer division — the standard
+   * no-interpolation mapping, chosen because it is EXACTLY reproducible by
+   * the DuckDB oracle (`//` floor division on the same non-negative ints;
+   * bilinear would put float rounding on the value path). Up- and
+   * down-scaling both work; the Long products make W×H near Int.MaxValue
+   * safe. Pure kernel — the Dataset stage is [[resizeImages]].
+   */
+  def resizeNearest(img: BmpImage, outW: Int, outH: Int): BmpImage = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive (got $outW x $outH)")
+    require(img.width > 0 && img.height > 0, "cannot resize an empty image")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * img.width / outW).toInt
+        val si = (sy * img.width + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1); out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(outW, outH, out)
+  }
+
+  /**
+   * Decode → resize → RE-ENCODE stage (the thumbnail / fixed-input-shape
+   * preprocessing step of a multimodal training pipeline): every image
+   * payload (BMP/PNG/GIF, sniffed) comes out a real outW×outH 24-bit BMP;
+   * non-image rows pass through untouched. One mapPartitions scan — payloads
+   * never shuffle, and the output is again a valid `Media` table, so the
+   * stage composes with [[imageStats]]/[[extractFeatures]]/storage sinks.
+   * Corrupt payloads fail loudly (IllegalArgumentException from the decoder
+   * contract) rather than silently passing through at the wrong size.
+   */
+  def resizeImages(media: Dataset[Media], outW: Int, outH: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else {
+        val r = resizeNearest(decodeImage(m.payload), outW, outH)
+        val px = r.rgb
+        val payload = encodeBmp(outW, outH, (x, y) => {
+          val i = (y * outW + x) * 3
+          (px(i) & 0xFF, px(i + 1) & 0xFF, px(i + 2) & 0xFF)
+        })
+        m.copy(payload = payload, width = outW, height = outH)
+      }
+    })
+  }
+
+  /**
    * Deterministic synthetic GIF media: every row a REAL single-frame GIF89a
    * whose pixels and 64-color palette come from the closed-form formulas
    * below — LZW is lossless, so the DuckDB oracle recomputes the DECODED

@@ -244,4 +244,60 @@ object RetrievalOps {
           .write.partitionBy("tb").parquet(tmp)
       },
       failAt = failAt)
+
+  // --------------------------------------------------------------------
+  // HYBRID retrieval: sparse (BM25) + dense (embedding cosine) legs fused
+  // by reciprocal-rank fusion. RRF is the standard zero-training fusion
+  // (Cormack et al., SIGIR'09): score(d) = Σ_legs 1/(kRrf + rank_leg(d)),
+  // docs missing from a leg contribute 0 from it. Fusing on RANKS (not raw
+  // scores) is what makes the op oracle-exact: 1/(60+r) from integer ranks
+  // is bit-identical on any IEEE engine, while cross-leg score calibration
+  // never enters.
+  // --------------------------------------------------------------------
+
+  /**
+   * Fuse two ranked legs — each (query_id, doc_id, rank) with rank 1-based
+   * per query — into the top-k per query by RRF. Both legs arrive already
+   * top-pool-cut (#queries × pool rows, human-scale), so the full-outer
+   * join and the ranking window are query-sized, never corpus-sized: at
+   * 100 TB the cost lives in the legs, and both legs have scale-validated
+   * stored paths ([[bm25TopKStored]]; `SimilarityOps.annTopKIvfPqStored`)
+   * that produce this exact (query_id, doc_id/vec_id, rank) shape.
+   * Ties on the fused score break on doc_id ascending.
+   */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive (got $k)")
+    require(kRrf > 0, s"kRrf must be positive (got $kRrf)")
+    val s = sparse.select(col("query_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val d = dense.select(col("query_id"), col("doc_id"), col("rank").as("r_dense"))
+    // fixed association (sparse term + dense term, each coalesced to 0.0)
+    // mirrored in the oracle SQL — two exact double divisions and one add
+    val rrf = coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_sparse")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_dense")), lit(0.0))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    s.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+
+  /**
+   * In-memory hybrid top-k: BM25 over `documents(doc_id, text)` + exact
+   * cosine over `embeddings(vec_id, embedding)` (vec_id keys the same
+   * documents), fused by [[rrfFuse]]. `queries` carries BOTH probe forms:
+   * (query_id, qtext, qvec). `poolK` is the per-leg candidate depth — the
+   * usual dial: deeper pools cost leg time, not fusion time.
+   */
+  def hybridTopK(documents: DataFrame, embeddings: DataFrame,
+                 queries: DataFrame, k: Int, poolK: Int = 20,
+                 kRrf: Int = 60): DataFrame = {
+    val sparse = bm25TopK(documents, queries.select("query_id", "qtext"), poolK)
+    val dense = SimilarityOps.bruteForceTopK(
+        embeddings, queries.select("query_id", "qvec"), poolK)
+      .withColumnRenamed("vec_id", "doc_id")
+    rrfFuse(sparse, dense, k, kRrf)
+  }
 }

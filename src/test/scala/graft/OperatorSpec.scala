@@ -503,6 +503,50 @@ class OperatorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MultimodalOps.encodeGif(70000, 10, pal, (_, _) => 0))
   }
 
+  test("resize: nearest-neighbor floor map golden; Dataset stage re-encodes valid BMPs") {
+    import MultimodalOps._
+    // upscale 2x2 -> 4x4: every output pixel samples source (x*2/4, y*2/4),
+    // i.e. 2x2 blocks of the source pixel — checked byte-for-byte
+    val src = decodeBmp(encodeBmp(2, 2, (x, y) => (x * 100 + y, y * 50, x + y * 10)))
+    val up = resizeNearest(src, 4, 4)
+    assert((up.width, up.height) == (4, 4))
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val si = ((y / 2) * 2 + (x / 2)) * 3 + c
+      assert(up.rgb((y * 4 + x) * 3 + c) == src.rgb(si), s"($x,$y,$c)")
+    }
+    // downscale 4x4 -> 2x2 keeps source pixels (0,0),(2,0),(0,2),(2,2)
+    val down = resizeNearest(decodeBmp(encodeBmp(4, 4, (x, y) => (x * 10 + y, 0, 0))), 2, 2)
+    assert(down.rgb.grouped(3).map(_(0) & 0xFF).toSeq == Seq(0, 20, 2, 22))
+    // non-square, non-divisible ratios stay in bounds: 3x5 -> 7x2,
+    // sx = x*3/7 = 0,0,0,1,1,2,2 and sy = y*5/2 = 0,2
+    val odd = resizeNearest(decodeBmp(encodeBmp(3, 5, (x, y) => (x, y, 0))), 7, 2)
+    assert(odd.rgb.grouped(3).map(_(0) & 0xFF).toSeq ==
+      Seq(0, 0, 0, 1, 1, 2, 2, 0, 0, 0, 1, 1, 2, 2))
+    assert(odd.rgb.grouped(3).map(_(1) & 0xFF).toSeq ==
+      Seq.fill(7)(0) ++ Seq.fill(7)(2))
+    assertThrows[IllegalArgumentException](resizeNearest(src, 0, 4))
+
+    // Dataset stage: GIF inputs decode, resize, re-encode as real BMPs whose
+    // stats equal a driver-side resizeNearest of the decoded source; audio
+    // rows pass through byte-identical
+    val got = imageStats(resizeImages(syntheticGifMedia(spark, 5), 8, 6))
+      .collect().map(s => s.media_id -> s).toMap
+    syntheticGifMedia(spark, 5).collect().foreach { m =>
+      val r = resizeNearest(decodeImage(m.payload), 8, 6)
+      val sums = r.rgb.grouped(3).foldLeft((0L, 0L, 0L)) { case ((a, b, c), px) =>
+        (a + (px(0) & 0xFF), b + (px(1) & 0xFF), c + (px(2) & 0xFF))
+      }
+      val s = got(m.media_id)
+      assert((s.width, s.height) == (8, 6))
+      assert((s.sum_r, s.sum_g, s.sum_b) == sums, s"media ${m.media_id}")
+    }
+    val audio = syntheticMediaContainers(spark, 6).filter(_.kind == "audio")
+    val through = resizeImages(audio, 8, 8).collect().map(m => m.media_id -> m).toMap
+    audio.collect().foreach { m =>
+      assert(java.util.Arrays.equals(through(m.media_id).payload, m.payload))
+    }
+  }
+
   test("corrupt containers fail fast (no hang, no hostile allocation) and degrade to stub") {
     import spark.implicits._
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
@@ -1044,6 +1088,47 @@ class OperatorSpec extends AnyFunSuite {
         case _ =>
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hybrid retrieval: RRF golden (one-leg docs, tie rule); self-retrieval tops the fused list") {
+    import spark.implicits._
+    // golden fusion: doc11 in both legs, doc10 sparse-only, doc12 dense-only
+    val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = RetrievalOps.rrfFuse(sparse, dense, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: doc11 = 1/62 + 1/61 beats doc10 = 1/61 beats doc12 = 1/62;
+    // q2: doc20 scores from both rank-1 legs
+    assert(fused((1L, 1)) == ((11L, r6(1.0 / 62 + 1.0 / 61))))
+    assert(fused((1L, 2)) == ((10L, r6(1.0 / 61))))
+    assert(fused((1L, 3)) == ((12L, r6(1.0 / 62))))
+    assert(fused((2L, 1)) == ((20L, r6(2.0 / 61))))
+    // equal fused scores break on doc_id ascending (both docs rank 1 in
+    // exactly one leg)
+    val tied = RetrievalOps.rrfFuse(
+      Seq((7L, 5L, 1)).toDF("query_id", "doc_id", "rank"),
+      Seq((7L, 3L, 1)).toDF("query_id", "doc_id", "rank"), k = 2).collect()
+      .sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(tied == Seq(3L, 5L))
+
+    // end-to-end: a doc queried with its own text AND its own embedding tops
+    // the fused list (rank 1 in both legs by construction)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "epsilon zeta eta theta"),
+      (2L, "alpha beta other words"), (3L, "totally different prose here"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(0.9, 0.1)), (3L, Array(0.5, 0.5))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, "alpha beta gamma delta", Array(1.0, 0.0)))
+      .toDF("query_id", "qtext", "qvec")
+    val top = RetrievalOps.hybridTopK(docs, emb, queries, k = 3, poolK = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 0L, top.mkString("; "))
+    assert(top.length == 3)
   }
 
   test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
