@@ -241,6 +241,30 @@ object Demo {
       spark, bmDir, bmQueries, k = 5)) == bmStored,
       "postings compaction changed BM25 results")
 
+    // HYBRID sparse+dense over the SAME stored legs: fuse the stored-BM25
+    // ranks with the stored-ANN ranks (all lists probed + full-corpus
+    // shortlist ⇒ the stored dense leg is exactly brute force) and assert
+    // the fusion equals the in-memory hybridTopK over the retained corpus —
+    // the production hybrid query composes entirely from index reads, no
+    // corpus re-tokenization and no vector re-scan outside the pruned index
+    val corpusVecs = embed(allSurvivors.select("doc_id"))
+    val hq = bmQueries.join(
+      corpusVecs.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id")
+    val denseStored = SimilarityOps.annTopKIvfPqStored(spark, idxDir,
+        hq.select("query_id", "qvec"), meta.index, meta.codebooks,
+        k = 10, nprobe = meta.index.centroids.length,
+        shortlist = survivorCounts.sum.toInt)
+      .withColumnRenamed("vec_id", "doc_id")
+    val sparseStored = graft.operators.RetrievalOps.bm25TopKStored(
+      spark, bmDir, hq.select("query_id", "qtext"), k = 10)
+    val fusedStored = bmKey(graft.operators.RetrievalOps.rrfFuse(
+      sparseStored, denseStored, k = 5))
+    val fusedMem = bmKey(graft.operators.RetrievalOps.hybridTopK(
+      allSurvivors, corpusVecs, hq, k = 5, poolK = 10))
+    assert(fusedStored.nonEmpty && fusedStored == fusedMem,
+      "stored-leg hybrid fusion diverged from the in-memory hybridTopK")
+
     // same maintenance for the retained-corpus HISTORY: the two committed
     // batch dirs fold into one doc_id-bucketed dir (the highest, still-
     // replayable one is never folded) with no row lost
@@ -258,6 +282,6 @@ object Demo {
       s"index_version=${meta.version} index_rows=$indexRows ann_ok=true " +
       f"drift_mean_ratios=${driftRatios.map(r => f"$r%.3f").mkString(",")} " +
       s"compacted_through=$foldedThrough history_dirs=$historyBefore->${historyDirs()} " +
-      s"bm25_ok=true postings_dirs=$postingsBefore->${postingsDirs()}")
+      s"bm25_ok=true postings_dirs=$postingsBefore->${postingsDirs()} hybrid_ok=true")
   }
 }
