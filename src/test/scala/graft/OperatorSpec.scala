@@ -1131,6 +1131,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.length == 3)
   }
 
+  test("plan: hybrid composition keeps both legs' broadcast shapes; fusion is the only SMJ") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.range(300).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 15).map(i => concat(lit("t"), col("id") % (i + 2))): _*).as("text"))
+      val emb = spark.range(300).select(col("id").as("vec_id"),
+        array((0 until 4).map(i => (col("id") % (i + 3)).cast("double")): _*).as("embedding"))
+      val queries = Seq((1L, "t0 t1 t2", Array(1.0, 0.0, 1.0, 0.0)))
+        .toDF("query_id", "qtext", "qvec")
+      val plan = RetrievalOps.hybridTopK(docs, emb, queries, k = 3, poolK = 5)
+        .queryExecution.executedPlan
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      val bnlj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      // composition must not re-plan the legs: BM25's df lookup + postings
+      // probe stay broadcast, the dense leg stays a broadcast cross join,
+      // and the ONLY sort-merge join is the query-sized full-outer fusion
+      assert(bhj.size == 2, s"bm25 leg lost a broadcast join: ${bhj.size}")
+      assert(bnlj.size == 1, s"dense leg lost its broadcast cross join: ${bnlj.size}")
+      assert(smj.size == 1 && smj.head.joinType.sql == "FULL OUTER",
+        s"fusion join shape changed: ${smj.map(_.joinType)}")
+      plan.foreach {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          e.output.foreach(a =>
+            assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.StringType],
+              s"string crosses ${e.getClass.getSimpleName}: ${e.output.map(_.name)}"))
+        case _ =>
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("guessVersion: quiet None on absent/broken documents, Some on the fixture") {
     import graft.sources.OboGraphReader
     val ont = graft.fixtures.MiniOntology.writeTo("target/fixtures")
