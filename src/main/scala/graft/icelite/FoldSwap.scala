@@ -56,15 +56,44 @@ object FoldSwap {
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      // writes are atomic (temp + rename-overwrite below), so a non-long here
+      // is EXTERNAL corruption — fail with the remedy, not a bare
+      // NumberFormatException that wedges every ingest with no context
+      try txt.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt compaction marker $p (content ${txt.take(40)}'): not a " +
+            "long. This file is written atomically — corruption is external. " +
+            "Restore it from backup or, if the fold state is known-good, " +
+            "delete it (deleting the watermark loses folded-batch replay " +
+            "REFUSAL: replays of folded ids would then duplicate rows).")
+      }
     }
 
+  /** Marker writes are ATOMIC (temp + rename-overwrite): the watermark is
+    * the COMMIT POINT, and a crash mid-write must leave either the old
+    * value or the new one — never a zero-length/partial file that wedges
+    * every later `compactedThrough` (ingest calls it before appending).
+    * Everything goes through FileContext: its local impl skips the
+    * ChecksumFileSystem wrapper, so no `.crc` sidecar can go stale across
+    * the data-file-only rename and poison a later checksummed open. */
   private def writeLong(fs: FileSystem, p: Path, v: Long): Unit = {
-    val out = fs.create(p, true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    val tmp = new Path(p.getParent, p.getName + "._tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // a marker written by fs.create in an older layout left a checksum
+    // sidecar; the rename below replaces only the data file, so drop it
+    fs.delete(new Path(p.getParent, s".${p.getName}.crc"), false)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /**
@@ -101,9 +130,18 @@ object FoldSwap {
         finishSwap(w, listIds(fs, base, prefix)); return w
       } else fs.delete(tmp, true) // uncommitted: sources intact, discard staging
     }
-    val foldable = selectFoldable(listIds(fs, base, prefix))
+    val ids = listIds(fs, base, prefix)
+    val foldable = selectFoldable(ids)
     if (foldable.size <= 1) return compactedThrough(fs, base)
     val target = foldable.max
+    // recovery's delete-everything-<=-watermark is the interrupted swap's
+    // delete set ONLY for a downward-closed fold set; a selector that skips
+    // an id below target would make recovery delete the skipped dir — rows
+    // that exist nowhere else. Enforce the invariant instead of trusting it.
+    require(foldable.toSet == ids.filter(_ <= target).toSet,
+      s"fold set must be downward-closed (every existing id <= $target): " +
+        s"selected ${foldable.sorted} of ${ids.sorted} — a crash after commit " +
+        "would make recovery delete the skipped dirs' only copy")
     stage(tmp.toString, foldable, target)
     writeLong(fs, covers, target)
     if (failAt.contains("before-commit"))

@@ -186,8 +186,13 @@ final class Icelite(rootDir: String) extends Serializable {
       val rowCount = partCounts.map(_._2).sum
 
       val safeTag = sanitizeTag(tag)
+      // bucketed snapshots also record the SCHEMA: a zero-row bucketed
+      // snapshot (a legitimate state — e.g. an ingest whose first batch was
+      // all-duplicates) has no parquet data files, so readSnapshot cannot
+      // infer the schema and must be handed it explicitly
       val bucketJson = buckets
-        .map(s => s""""bucket_n":${s.numBuckets},"bucket_cols":"${s.cols.mkString(",")}",""")
+        .map(s => s""""bucket_n":${s.numBuckets},"bucket_cols":"${s.cols.mkString(",")}",""" +
+          s""""schema_ddl":"${escapeJson(persisted.schema.toDDL)}",""")
         .getOrElse("")
       val manifest =
         s"""{"snapshot_id":$id,"parent_id":${currentSnapshotId(table).getOrElse(-1L)},""" +
@@ -255,10 +260,16 @@ final class Icelite(rootDir: String) extends Serializable {
       // this instance's own in-flight writes whatever the threshold.
       claimedIds(table).foreach { id =>
         val claim = io.join(snaps, s"$id.claim")
+        // a cross-process writer may release its claim between the exists
+        // check and the mtime read — a vanished claim is a LIVE writer
+        // finishing, never a dead one, so treat it as not-stale (skip)
+        // rather than letting the missing-file read fail the whole vacuum
+        def mtimeOrLive(p: String): Long =
+          try io.lastModifiedMs(p) catch { case _: java.io.IOException => Long.MaxValue }
         val dead = !io.exists(io.join(snaps, s"$id.json")) &&
           !pendingIds.contains(s"$table/$id") &&
           io.exists(claim) &&
-          io.lastModifiedMs(claim) < System.currentTimeMillis() - staleClaimMs
+          mtimeOrLive(claim) < System.currentTimeMillis() - staleClaimMs
         if (dead) io.deleteIfExists(claim)
       }
       val ids = io.list(snaps)
@@ -308,6 +319,13 @@ final class Icelite(rootDir: String) extends Serializable {
 
   private val BucketSpecRe =
     """"bucket_n":(\d+),"bucket_cols":"([^"]*)"""".r
+  private val SchemaDdlRe =
+    """"schema_ddl":"((?:[^"\\]|\\.)*)"""".r
+
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Bucket spec recorded in a snapshot's manifest, if any. */
   def bucketSpec(table: String, id: Long): Option[BucketedTables.BucketSpec] = {
@@ -315,6 +333,15 @@ final class Icelite(rootDir: String) extends Serializable {
     if (!io.exists(mf)) return None
     BucketSpecRe.findFirstMatchIn(io.readString(mf))
       .map(m => BucketedTables.BucketSpec(m.group(1).toInt, m.group(2).split(",").toSeq))
+  }
+
+  /** Schema recorded with a bucketed snapshot (absent on pre-schema
+    * manifests, whose non-empty data dirs infer fine). */
+  private def storedSchema(table: String, id: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val mf = io.join(snapsDir(table), s"$id.json")
+    if (!io.exists(mf)) return None
+    SchemaDdlRe.findFirstMatchIn(io.readString(mf))
+      .map(m => org.apache.spark.sql.types.StructType.fromDDL(unescapeJson(m.group(1))))
   }
 
   def readSnapshot(spark: SparkSession, table: String, id: Option[Long] = None): DataFrame = {
@@ -325,7 +352,7 @@ final class Icelite(rootDir: String) extends Serializable {
       // bucketed snapshots read through the catalog so the scan KEEPS the
       // hash partitioning (a plain parquet read would be correct but would
       // re-shuffle this side of every keyed join — the layout's whole point)
-      case Some(spec) => BucketedTables.read(spark, dataDir, spec)
+      case Some(spec) => BucketedTables.read(spark, dataDir, spec, storedSchema(table, sid))
       case None       => spark.read.parquet(dataDir)
     }
   }

@@ -72,11 +72,26 @@ private[icelite] object NioMetaIO extends MetaIO {
                            replace: Boolean): Unit = {
     Files.write(path(tmp), content.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val opts =
-      if (replace) Seq(java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      else Seq(java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Files.move(path(tmp), path(dst), opts: _*); ()
+    if (replace) {
+      Files.move(path(tmp), path(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    } else {
+      // the contract says replace=false must FAIL if dst exists, but
+      // ATOMIC_MOVE alone maps to rename(2) on POSIX, which silently
+      // REPLACES an existing target. A hard link is the real atomic
+      // create-if-absent commit (throws FileAlreadyExistsException);
+      // fall back to check+move only where the FS has no links.
+      try { Files.createLink(path(dst), path(tmp)); () }
+      catch {
+        case _: UnsupportedOperationException =>
+          if (Files.exists(path(dst)))
+            throw new java.nio.file.FileAlreadyExistsException(dst)
+          Files.move(path(tmp), path(dst),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
+      }
+      Files.deleteIfExists(path(tmp)); ()
+    }
   }
 
   override def createNew(p: String): Boolean =

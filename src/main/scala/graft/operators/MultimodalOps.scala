@@ -720,11 +720,18 @@ object MultimodalOps {
    * no-interpolation mapping, chosen because it is EXACTLY reproducible by
    * the DuckDB oracle (`//` floor division on the same non-negative ints;
    * bilinear would put float rounding on the value path). Up- and
-   * down-scaling both work; the Long products make W×H near Int.MaxValue
-   * safe. Pure kernel — the Dataset stage is [[resizeImages]].
+   * down-scaling both work; SOURCE index math uses Long products, and the
+   * OUTPUT allocation is guarded by the same loud pre-check as the
+   * decoders (outW×outH×3 must fit an Int array — checked as a Long
+   * product BEFORE allocating, so oversized dims fail the argument check
+   * instead of wrapping into NegativeArraySizeException mid-pipeline).
+   * Pure kernel — the Dataset stage is [[resizeImages]].
    */
   def resizeNearest(img: BmpImage, outW: Int, outH: Int): BmpImage = {
     require(outW > 0 && outH > 0, s"resize dims must be positive (got $outW x $outH)")
+    require(outW.toLong * outH * 3L <= Int.MaxValue,
+      s"resize output $outW x $outH exceeds the byte-array limit " +
+        "(w*h*3 must fit an Int) — pick smaller target dims")
     require(img.width > 0 && img.height > 0, "cannot resize an empty image")
     val out = new Array[Byte](outW * outH * 3)
     var y = 0

@@ -192,9 +192,17 @@ object RetrievalOps {
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings/batch_id=$batchId")
-    documents
-      .select(size(split(DedupOps.normText(col("text")), " ")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // stats come from the postings JUST WRITTEN, not a second tokenization
+    // scan of the batch text: every doc carries its dl on each of its
+    // posting rows (and has >= 1 row — split() never yields an empty
+    // array), so one narrow distinct over (doc_id, dl) reproduces the
+    // exact same longs at a fraction of the bytes. Explicit schema: an
+    // EMPTY batch writes only _SUCCESS and inference would throw.
+    documents.sparkSession.read
+      .schema("doc_id BIGINT, dl INT, th BIGINT, tf BIGINT, tb INT")
+      .parquet(s"$path/postings/batch_id=$batchId")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("bigint").as("sum_dl"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/stats/batch_id=$batchId")
   }
@@ -227,16 +235,28 @@ object RetrievalOps {
       nDocs = st.getLong(0), sumDl = st.getLong(1), k, k1, b)
   }
 
-  /** Steady-state index MAINTENANCE: fold every `batch_id=N` postings
-    * subtree into one with ~one file per bucket (after D daily appends a
-    * Q-term query opens Q×D file sets; the fold restores Q). Crash safety
-    * and the replay-refusal watermark are [[graft.icelite.FoldSwap]]'s
-    * contract. Stats sidecars stay per-batch (one row each — never the
-    * files problem). Returns the watermark. */
+  /** Steady-state index MAINTENANCE: fold every COMMITTED `batch_id=N`
+    * postings subtree into one with ~one file per bucket (after D daily
+    * appends a Q-term query opens Q×D file sets; the fold restores Q).
+    * Crash safety and the replay-refusal watermark are
+    * [[graft.icelite.FoldSwap]]'s contract. Stats sidecars stay per-batch
+    * (one row each — never the files problem). Returns the watermark.
+    *
+    * "Committed" = the batch's STATS sidecar has its `_SUCCESS` marker (the
+    * stats write is [[appendPostingsIndex]]'s second and last step). A batch
+    * caught in the documented crash window — postings written, stats missing
+    * — must stay out of the fold: folding it would bake its tf/df rows into
+    * the index while the watermark REFUSES the replay that is its one
+    * recovery path (N/avgdl silently wrong forever). The fold therefore
+    * takes the maximal committed PREFIX of batch ids, leaving any
+    * interrupted batch (and everything above it) replayable. */
   def compactPostings(spark: org.apache.spark.sql.SparkSession, path: String,
-                      failAt: Option[String] = None): Long =
+                      failAt: Option[String] = None): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     graft.icelite.FoldSwap.compact(spark, s"$path/postings", "batch_id=",
-      selectFoldable = identity,
+      selectFoldable = ids => ids.sorted.takeWhile(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/batch_id=$id/_SUCCESS"))),
       stage = (tmp, _, target) => {
         spark.read.parquet(s"$path/postings")
           .filter(col("batch_id") <= target).drop("batch_id")
@@ -244,6 +264,7 @@ object RetrievalOps {
           .write.partitionBy("tb").parquet(tmp)
       },
       failAt = failAt)
+  }
 
   // --------------------------------------------------------------------
   // HYBRID retrieval: sparse (BM25) + dense (embedding cosine) legs fused

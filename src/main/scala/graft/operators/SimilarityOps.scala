@@ -798,9 +798,17 @@ object SimilarityOps {
     * [[graft.icelite.FoldSwap]]'s contract. `failAt` is its TEST-ONLY
     * failpoint. Returns the watermark. */
   def compactIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
-                   failAt: Option[String] = None): Long =
+                   failAt: Option[String] = None): Long = {
+    // fold only COMMITTED batches (the dir's _SUCCESS marker — appendIvfPq
+    // is a single overwrite write): an append interrupted mid-write is
+    // recovered by REPLAYING its batch id, and folding its partial rows
+    // would bake them in while the watermark refuses exactly that replay.
+    // Maximal committed prefix keeps the fold set downward-closed.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     graft.icelite.FoldSwap.compact(spark, path, "batch_id=",
-      selectFoldable = identity,
+      selectFoldable = ids => ids.sorted.takeWhile(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch_id=$id/_SUCCESS"))),
       stage = (tmp, _, target) => {
         // key-aligned shuffle ⇒ each list's rows in one task ⇒ one file
         // per list after the fold
@@ -810,6 +818,7 @@ object SimilarityOps {
           .write.partitionBy("list_id").parquet(tmp)
       },
       failAt = failAt)
+  }
 
   /** Composed tier over [[writeIvfPq]] storage: each query's `nprobe` lists
     * become STATIC partition filters (queries broadcast-small by contract),

@@ -525,6 +525,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(odd.rgb.grouped(3).map(_(1) & 0xFF).toSeq ==
       Seq.fill(7)(0) ++ Seq.fill(7)(2))
     assertThrows[IllegalArgumentException](resizeNearest(src, 0, 4))
+    // output allocation is Int-guarded as a Long product: oversized target
+    // dims fail the argument check, not NegativeArraySizeException mid-loop
+    assertThrows[IllegalArgumentException](resizeNearest(src, 40000, 30000))
 
     // Dataset stage: GIF inputs decode, resize, re-encode as real BMPs whose
     // stats equal a driver-side resizeNearest of the decoded source; audio

@@ -1216,6 +1216,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/postings/_compact_tmp")))
   }
 
+  test("compaction folds only COMMITTED batches: a half-committed batch stays out and stays replayable") {
+    import spark.implicits._
+    import graft.operators.RetrievalOps
+    def mkDocs(from: Int, until: Int) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 3) + i, lit(40)))): _*).as("text"))
+    val path = "target/fixtures/bm25_halfcommit_" + System.nanoTime()
+    RetrievalOps.writePostingsIndex(mkDocs(0, 100), path, nBuckets = 8)
+    RetrievalOps.appendPostingsIndex(mkDocs(100, 140), path, batchId = 1)
+    RetrievalOps.appendPostingsIndex(mkDocs(140, 170), path, batchId = 2)
+    // simulate the documented ingest crash window for batch 2: postings
+    // written, the stats write never ran
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats/batch_id=2"), true)
+    // the fold must stop BELOW the interrupted batch — folding it would
+    // bake its tf/df into the index while the watermark refuses the replay
+    // that is its only recovery path
+    assert(RetrievalOps.compactPostings(spark, path) == 1L)
+    // the recovery the append scaladoc promises still works: replay it
+    RetrievalOps.appendPostingsIndex(mkDocs(140, 170), path, batchId = 2)
+    val queries = Seq((1L, "w7 w21"), (2L, "w2 w30")).toDF("query_id", "qtext")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(key(RetrievalOps.bm25TopKStored(spark, path, queries, k = 3)) ==
+      key(RetrievalOps.bm25TopK(mkDocs(0, 170), queries, k = 3)),
+      "replayed batch did not restore exact scores")
+    // once committed, the next maintenance fold picks everything up
+    assert(RetrievalOps.compactPostings(spark, path) == 2L)
+  }
+
+  test("FoldSwap guards: gappy fold set refused before staging; corrupt watermark fails with remedy") {
+    val base = "target/fixtures/foldswap_guard_" + System.nanoTime()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 to 2).foreach(i => fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/batch_id=$i")))
+    // a selector skipping an id below its target is refused up front:
+    // recovery's delete-everything-<=-watermark would delete the skipped
+    // dir's only copy after a post-commit crash
+    val exGap = intercept[IllegalArgumentException] {
+      graft.icelite.FoldSwap.compact(spark, base, "batch_id=",
+        selectFoldable = _ => Seq(0L, 2L),
+        stage = (_, _, _) => fail("stage must not run for a gappy fold set"))
+    }
+    assert(exGap.getMessage.contains("downward-closed"), exGap.getMessage)
+    // external corruption of the (atomically written) watermark is loud,
+    // names the file, and states the remedy — not a bare NumberFormatException
+    // out of every subsequent ingest
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/_compacted_through"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    val exCorrupt = intercept[IllegalStateException] {
+      graft.icelite.FoldSwap.compactedThrough(fs, base)
+    }
+    assert(exCorrupt.getMessage.contains("corrupt compaction marker"), exCorrupt.getMessage)
+  }
+
+  test("icelite: a ZERO-ROW bucketed snapshot reads back through its recorded schema") {
+    import spark.implicits._
+    // a legitimate steady-state shape: an ingest whose first batch was all
+    // duplicates commits an empty signature store — it must stay readable
+    // (no parquet files exist, so inference alone would throw and wedge
+    // every later batch behind an advanced checkpoint)
+    val ic = new Icelite("target/icelite_emptybkt_" + System.nanoTime())
+    val spec = graft.icelite.BucketedTables.BucketSpec(4, Seq("band_idx", "band_hash"))
+    val id = ic.writeSnapshot(
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "band_idx", "band_hash"),
+      "store", tag = "day0", buckets = Some(spec))
+    val back = ic.readSnapshot(spark, "store", Some(id))
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "band_idx", "band_hash"))
+    // non-empty snapshots over the same table still round-trip
+    val id2 = ic.writeSnapshot(Seq((1L, 0, 42L)).toDF("doc_id", "band_idx", "band_hash"),
+      "store", tag = "day1", buckets = Some(spec))
+    assert(ic.readSnapshot(spark, "store", Some(id2))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("oracle soundness: embeddings fixtures carry no zero vectors at any SF") {
     // Spark's cosine of a zero vector is NaN (ranks FIRST under DESC) while
     // DuckDB's list_cosine_similarity returns -1 (ranks last) — the quantized
