@@ -256,6 +256,12 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // --- tokenizer vocab induction: the counting step of a BPE merge round —
+    // top-40 adjacent char pairs across the corpus. Oracle replays the same
+    // tokenize → per-occurrence pair explode → count → md5-tie-broken rank.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(docs(s, dir).select("text"), topN = 40)),
+
     // --- text analysis: fingerprint GROUP STRUCTURE (oracle-checked: xxhash64
     // itself is not in DuckDB, but fingerprint-equality groups must equal
     // normalized-text-equality groups as long as the hash is collision-free)
@@ -1134,6 +1140,23 @@ object SparkEntry {
         |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
         |    len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct
         |  FROM documents)""".stripMargin,
+
+    // BPE pair counting: the same tokenize → per-word-occurrence adjacent
+    // char-pair explode → count, ranked with the md5 tie-break (byte
+    // ordering, no collation on the rank path — the q_domain_cap convention)
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INT), 2) AS pair
+        |  FROM toks, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+        |  WHERE length(w) >= 2),
+        |agg AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair)
+        |SELECT pair, cnt, CAST(rank AS INT) AS rank FROM (
+        |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, md5(pair)) AS rank
+        |  FROM agg)
+        |WHERE rank <= 40""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -313,6 +313,44 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------------
+  // Tokenizer vocab induction: BPE pair counting
+  // -------------------------------------------------------------------------
+
+  /**
+   * The counting step of a BPE merge round (Sennrich et al., ACL'16): the
+   * `topN` most frequent ADJACENT CHARACTER PAIRS across the corpus,
+   * weighted by occurrence — the statistic a tokenizer-training pipeline
+   * computes over the full corpus before each merge. Distinct from the
+   * token-level bigram LM ([[graft.operators.NgramLm]]): pairs live INSIDE
+   * words.
+   *
+   * Scale shape: pairs are exploded per word occurrence and aggregated
+   * directly — no word-frequency intermediate, so the ONLY exchange carries
+   * 2-char keys from a domain bounded by alphabet² with near-total map-side
+   * combine (each task emits at most |distinct pairs| rows whatever its
+   * input size). The final ranking window is a single sort over that same
+   * bounded domain, never corpus-sized. Ties on count break on md5(pair)
+   * (the q_domain_cap convention — engine-independent byte ordering, no
+   * collation on the rank path).
+   */
+  def bpePairCounts(documents: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive (got $topN)")
+    val pairs = documents
+      // staged token array (the HOF-CSE rule), then per-occurrence explode
+      .select(split(graft.operators.DedupOps.normText(col("text")), " ").as("toks"))
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, md5(col("pair").cast("binary")).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("pair"), col("cnt"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------------
 

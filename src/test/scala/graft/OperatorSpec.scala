@@ -91,6 +91,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(m(5L) == ((1, 0.0, 0.0))) // null → "" → [""]
   }
 
+  test("BPE pair counting: golden corpus-weighted adjacent pairs with md5-tie-broken ranks") {
+    import spark.implicits._
+    // "ab ab abc x": ab, ab, (ab, bc); x and "a" are sub-pair length;
+    // "banana": ba, an, na, an, na — totals ab:3, an:2, na:2, ba:1, bc:1
+    val docs = Seq("ab ab abc x", "banana", "a").toDF("text")
+    val got = TextOps.bpePairCounts(docs, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Seq("ab" -> 3L, "an" -> 2L, "na" -> 2L, "ba" -> 1L, "bc" -> 1L)
+      .sortBy { case (p, c) => (-c, md5hex(p)) }
+      .zipWithIndex.map { case ((p, c), i) => (p, c, i + 1) }
+    assert(got == want, s"got $got want $want")
+    // topN cuts the ranked list, not the counts
+    assert(TextOps.bpePairCounts(docs, topN = 2).collect()
+      .map(_.getString(0)).toSet == want.take(2).map(_._1).toSet)
+    assertThrows[IllegalArgumentException](TextOps.bpePairCounts(docs, 0))
+  }
+
   test("PII redaction: planted email/ip/phone redacted in order, clean text untouched") {
     val out = Seq(
       "mail me at bob.smith+x@mail.example.com ok",
