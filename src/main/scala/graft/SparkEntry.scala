@@ -28,6 +28,11 @@ object SparkEntry {
   /** Transcripts CTE shared by every transcript-shaped oracle. */
   private val T = Transcripts.fromDocumentsSql
 
+  /** Fixed BPE merge table for q_bpe_apply — inlined as literals on BOTH the
+    * engine and oracle sides (the driver-computed-constant convention); the
+    * rank-2 merge consumes rank-1's output symbol, exercising chaining. */
+  private val BpeApplyMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"))
+
   // ---------------------------------------------------------------------
   // flagship
   // ---------------------------------------------------------------------
@@ -261,6 +266,18 @@ object SparkEntry {
     // tokenize → per-occurrence pair explode → count → md5-tie-broken rank.
     "q_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(docs(s, dir).select("text"), topN = 40)),
+
+    // --- tokenizer application: segment the corpus vocabulary with a FIXED
+    // merge table (train once, apply everywhere — the production shape; the
+    // chained rank-2 merge consumes rank-1's output symbol). Oracle replays
+    // the identical greedy left-to-right folds via DuckDB list_reduce.
+    "q_bpe_apply" -> ((s, dir) => {
+      val words = TextOps.wordFrequencies(docs(s, dir).select("text"))
+      words.select(col("word"), col("cnt"),
+        concat_ws(" ", TextOps.applyBpeMerges(
+          TextOps.charSegmentation(col("word"), endOfWord = None),
+          BpeApplyMerges)).as("seg"))
+    }),
 
     // --- text analysis: fingerprint GROUP STRUCTURE (oracle-checked: xxhash64
     // itself is not in DuckDB, but fingerprint-equality groups must equal
@@ -1157,6 +1174,35 @@ object SparkEntry {
         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, md5(pair)) AS rank
         |  FROM agg)
         |WHERE rank <= 40""".stripMargin,
+
+    // BPE merge application: each merge is the IDENTICAL greedy left-to-right
+    // fold as the engine's bpeMergeOnce — list_reduce carries the running
+    // segmentation as a space-joined string (symbols are whitespace-split, so
+    // space is a safe separator), the anchored regex reads/replaces the last
+    // symbol, and the next fold re-splits. Merges inlined on both sides.
+    "q_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0
+        |  GROUP BY w),
+        |seg0 AS (SELECT word, cnt,
+        |  list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INT), 1)) AS seg
+        |  FROM words),
+        |seg1 AS (SELECT word, cnt, string_split(list_reduce(seg, (acc, x) ->
+        |  CASE WHEN regexp_extract(acc, '[^ ]+$') = 't' AND x = 'h'
+        |       THEN regexp_replace(acc, '[^ ]+$', 'th') ELSE acc || ' ' || x END), ' ') AS seg
+        |  FROM seg0),
+        |seg2 AS (SELECT word, cnt, string_split(list_reduce(seg, (acc, x) ->
+        |  CASE WHEN regexp_extract(acc, '[^ ]+$') = 'th' AND x = 'e'
+        |       THEN regexp_replace(acc, '[^ ]+$', 'the') ELSE acc || ' ' || x END), ' ') AS seg
+        |  FROM seg1),
+        |seg3 AS (SELECT word, cnt, string_split(list_reduce(seg, (acc, x) ->
+        |  CASE WHEN regexp_extract(acc, '[^ ]+$') = 'i' AND x = 'n'
+        |       THEN regexp_replace(acc, '[^ ]+$', 'in') ELSE acc || ' ' || x END), ' ') AS seg
+        |  FROM seg2)
+        |SELECT word, cnt, array_to_string(seg, ' ') AS seg FROM seg3""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

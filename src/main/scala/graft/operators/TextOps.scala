@@ -351,6 +351,198 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------------
+  // Tokenizer vocab induction: BPE merge application + training
+  // -------------------------------------------------------------------------
+
+  /** One learned merge: at `rank`, symbols (`left`,`right`) fuse into
+    * `merged` = left+right; `pairCount` is the corpus-weighted adjacency
+    * count that won the round. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+                            merged: String, pairCount: Long)
+
+  /** Character segmentation of a word — one single-char symbol per position,
+    * plus an optional end-of-word marker symbol (the Sennrich ACL'16
+    * convention, so merges cannot cross word boundaries when segmentations
+    * are later concatenated). `word` must be a plain ATTRIBUTE column, not a
+    * computed expression: the transform lambda indexes it per element (the
+    * HOF-CSE rule — an attribute re-read is free, a computed expression is
+    * re-evaluated once per character). */
+  def charSegmentation(word: Column, endOfWord: Option[String]): Column = {
+    val chars = transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    endOfWord.map(m => concat(chars, array(lit(m)))).getOrElse(chars)
+  }
+
+  /** One BPE merge (a,b) → a+b applied greedily LEFT-TO-RIGHT to a symbol
+    * array — the fold consumes each occurrence's symbols exactly once, so
+    * "b b b" under (b,b) gives [bb, b], never [b, bb] or [bb, bb]. The
+    * lambda touches only its own variables and string literals (HOF-CSE
+    * safe), and reads the running last symbol with null-safe `get` (empty
+    * accumulator → null → no match) so it holds under ANSI semantics. */
+  def bpeMergeOnce(seg: Column, a: String, b: String): Column =
+    aggregate(
+      seg,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Apply a FIXED merge table in rank order — the production tokenizer
+    * shape (train once, segment every corpus with the frozen table). Each
+    * merge is one fold; the chain is a single codegen'd expression per row,
+    * so segmentation is a pure scan: no shuffle, no state. For merge tables
+    * beyond a few dozen entries, loop with staged projections/checkpoints
+    * instead of one mega-expression (the [[learnBpeMerges]] round loop is
+    * that shape). */
+  def applyBpeMerges(seg: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(seg) { case (s, (a, b)) => bpeMergeOnce(s, a, b) }
+
+  /** Word-frequency table of the corpus under [[graft.operators.DedupOps.normText]]
+    * tokenization — the ONLY corpus-sized step of BPE training (everything
+    * after operates on distinct words). One shuffle on word strings with
+    * full map-side combine. */
+  def wordFrequencies(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(graft.operators.DedupOps.normText(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Probe bound for the driver-side BPE training cost-switch: vocabularies
+    * at or under this many distinct words train in-driver (the
+    * [[graft.pipeline.KgPipeline]] union-find cost-switch precedent);
+    * larger ones run the distributed round loop. */
+  val BpeDriverVocabLimit = 200000
+
+  /**
+   * BPE tokenizer training (Sennrich et al., ACL'16): `nMerges` rounds of
+   * count-adjacent-pairs → merge the winner, over the word-frequency table.
+   * Ties on pair count break on md5(left + " " + right) — engine-independent
+   * byte ordering (space cannot occur inside a whitespace-split symbol), the
+   * same convention as [[bpePairCounts]]' rank.
+   *
+   * Scale shape: the corpus is touched exactly ONCE ([[wordFrequencies]]);
+   * training state is the vocab-bounded `(word, cnt, seg)` table. Cost
+   * switch (probed, not assumed): a vocab that fits
+   * [[BpeDriverVocabLimit]] collects once and trains in-driver (n merge
+   * rounds over an in-memory table — the common case even at 100 TB, since
+   * distinct-word counts grow sublinearly); a larger vocab trains
+   * distributed — per round, one narrow (l, r, cnt) pair aggregation (domain
+   * bounded by the live symbol inventory², near-total map-side combine), a
+   * 1-row driver argmax, and one fold projection, with the vocab
+   * localCheckpointed each round so plans never nest. Both paths are
+   * EQUIVALENT by construction and by test.
+   *
+   * @return (merges in rank order, final segmented vocab
+   *         `(word, cnt, seg: array<string>)`)
+   */
+  def learnBpeMerges(documents: DataFrame, nMerges: Int,
+                     endOfWord: Option[String] = Some("</w>"),
+                     driverVocabLimit: Int = BpeDriverVocabLimit): (Seq[BpeMerge], DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive (got $nMerges)")
+    val spark = documents.sparkSession
+    val words = wordFrequencies(documents).localCheckpoint(true)
+    // bounded probe (the fetchDocsByIds pattern): limit+1 rows decide the path
+    val probe = words.select("word", "cnt").limit(driverVocabLimit + 1).collect()
+    if (probe.length <= driverVocabLimit) {
+      val merges = trainBpeDriver(
+        probe.map(r => (r.getString(0), r.getLong(1))).toSeq, nMerges, endOfWord)
+      val vocab = applyBpeMergesStaged(words, merges.map(m => (m.left, m.right)), endOfWord)
+        .select("word", "cnt", "seg")
+      (merges, vocab)
+    } else trainBpeDistributed(words, nMerges, endOfWord)
+  }
+
+  /** Segment `words(word, cnt, ...)` with a fixed merge table, each fold
+    * staged through its own projection (Catalyst may re-collapse them; the
+    * staging keeps the authored plan linear and checkpoint-insertable). */
+  private def applyBpeMergesStaged(words: DataFrame, merges: Seq[(String, String)],
+                                   endOfWord: Option[String]): DataFrame =
+    merges.foldLeft(
+      words.withColumn("seg", charSegmentation(col("word"), endOfWord))) {
+      case (df, (a, b)) => df.withColumn("seg", bpeMergeOnce(col("seg"), a, b))
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** In-driver trainer (vocab fits the probe bound). Same counting, same
+    * greedy fold, same md5 tie-break as the distributed path. */
+  private[graft] def trainBpeDriver(words: Seq[(String, Long)], nMerges: Int,
+                                    endOfWord: Option[String]): Seq[BpeMerge] = {
+    var vocab: Seq[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toArray ++ endOfWord.toSeq, c)
+    }
+    val out = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (seg, c) =>
+        var i = 0
+        while (i < seg.length - 1) {
+          val k = (seg(i), seg(i + 1)); counts(k) = counts.getOrElse(k, 0L) + c; i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((l, rr), cnt) => (-cnt, md5Hex(l + " " + rr)) }
+        out += BpeMerge(r, a, b, a + b, c)
+        vocab = vocab.map { case (seg, cnt) =>
+          val buf = new scala.collection.mutable.ArrayBuffer[String](seg.length)
+          var i = 0
+          while (i < seg.length) {
+            if (i < seg.length - 1 && seg(i) == a && seg(i + 1) == b) { buf += a + b; i += 2 }
+            else { buf += seg(i); i += 1 }
+          }
+          (buf.toArray, cnt)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed trainer: per round one narrow pair aggregation, a 1-row
+    * argmax collect (bounded by construction), one fold projection,
+    * localCheckpoint to truncate lineage — and the PREVIOUS round's
+    * checkpoint explicitly unpersisted (the Closure.descendants pattern:
+    * thousands of merge rounds must not accumulate a vocab-sized cached RDD
+    * per round waiting for driver GC). */
+  private def trainBpeDistributed(words0: DataFrame, nMerges: Int,
+                                  endOfWord: Option[String]): (Seq[BpeMerge], DataFrame) = {
+    import org.apache.spark.sql.graftshim.InternalRowShim
+    var vocab = words0.select(col("word"), col("cnt"),
+      charSegmentation(col("word"), endOfWord).as("seg")).localCheckpoint(true)
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val top = vocab.filter(size(col("seg")) >= 2)
+        .select(col("cnt"), explode(
+          // seg is an ATTRIBUTE of the checkpointed vocab — per-element
+          // indexing inside the lambda is a plain array access (HOF-CSE safe)
+          expr("transform(sequence(1, size(seg) - 1), i -> struct(seg[i - 1] AS l, seg[i] AS r))")).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc,
+          md5(concat(col("l"), lit(" "), col("r")).cast("binary")))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(r, a, b, a + b, c)
+        val prev = vocab
+        vocab = vocab.select(col("word"), col("cnt"),
+          bpeMergeOnce(col("seg"), a, b).as("seg")).localCheckpoint(true)
+        InternalRowShim.unpersistCheckpoint(prev)
+        r += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  // -------------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------------
 

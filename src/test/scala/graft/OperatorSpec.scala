@@ -110,6 +110,51 @@ class OperatorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextOps.bpePairCounts(docs, 0))
   }
 
+  test("BPE trainer: greedy fold, md5 tie-break, distributed ≡ driver ≡ apply, exhaustion") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq("aaab aaab", "aaab").toDF("text") // word freq {aaab: 3}
+    val (mD, vD) = TextOps.learnBpeMerges(docs, nMerges = 2)
+    val (mX, vX) = TextOps.learnBpeMerges(docs, nMerges = 2, driverVocabLimit = 0)
+    // round 1: (a,a)=6 beats (a,b)=3, (b,</w>)=3; the greedy fold then
+    // segments aaab</w> as [aa, a, b, </w>], never [a, aa, ...]
+    assert(mD.head == TextOps.BpeMerge(1, "a", "a", "aa", 6L))
+    // round 2: three-way tie at 3 — md5(left + " " + right) decides
+    val exp2 = Seq(("aa", "a"), ("a", "b"), ("b", "</w>"))
+      .minBy { case (l, r) => md5hex(l + " " + r) }
+    assert((mD(1).left, mD(1).right) == exp2 && mD(1).pairCount == 3L)
+    assert(mX == mD) // cost-switch paths agree on the learned table
+    // ...and on the final segmentations: the driver path APPLIES the table,
+    // the distributed path folded round-by-round
+    def segs(v: org.apache.spark.sql.DataFrame) =
+      v.orderBy("word").collect().map(r => (r.getString(0), r.getSeq[String](2).toList)).toList
+    assert(segs(vX) == segs(vD))
+    // applying the learned table from scratch reproduces the trained vocab
+    val applied = vD.select(col("word"), col("cnt"),
+      TextOps.applyBpeMerges(
+        TextOps.charSegmentation(col("word"), Some("</w>")),
+        mD.map(m => (m.left, m.right))).as("seg"))
+    assert(segs(applied) == segs(vD))
+    // exhaustion: "ab" + marker admits exactly 2 merges; asking for 10 stops early
+    val (mE, vE) = TextOps.learnBpeMerges(Seq("ab").toDF("text"), nMerges = 10)
+    assert(mE.size == 2 && segs(vE) == List(("ab", List("ab</w>"))))
+    assertThrows[IllegalArgumentException](TextOps.learnBpeMerges(docs, 0))
+  }
+
+  test("BPE apply with a fixed merge table: chained merge consumes prior output, no-op words untouched") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n")) // = SparkEntry's q_bpe_apply table
+    val words = Seq("the", "thin", "tin", "x").toDF("word")
+    val got = words.select(col("word"), concat_ws(" ",
+      TextOps.applyBpeMerges(
+        TextOps.charSegmentation(col("word"), endOfWord = None), merges)).as("seg"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the: t h e -> [th, e] -> [the]; thin: [th, i, n] -> [th, in];
+    // tin: t i n -> no (t,h) -> [t, in]; x: single symbol untouched
+    assert(got == Map("the" -> "the", "thin" -> "th in", "tin" -> "t in", "x" -> "x"))
+  }
+
   test("PII redaction: planted email/ip/phone redacted in order, clean text untouched") {
     val out = Seq(
       "mail me at bob.smith+x@mail.example.com ok",
