@@ -437,10 +437,17 @@ object TextOps {
    */
   def learnBpeMerges(documents: DataFrame, nMerges: Int,
                      endOfWord: Option[String] = Some("</w>"),
-                     driverVocabLimit: Int = BpeDriverVocabLimit): (Seq[BpeMerge], DataFrame) = {
+                     driverVocabLimit: Int = BpeDriverVocabLimit): (Seq[BpeMerge], DataFrame) =
+    learnBpeMergesFromWords(wordFrequencies(documents).localCheckpoint(true),
+      nMerges, endOfWord, driverVocabLimit)
+
+  /** [[learnBpeMerges]] starting from an existing word-frequency table
+    * `words(word, cnt)` — for callers that already materialize one (or a
+    * probe that synthesizes a large vocab directly). */
+  def learnBpeMergesFromWords(words: DataFrame, nMerges: Int,
+                              endOfWord: Option[String] = Some("</w>"),
+                              driverVocabLimit: Int = BpeDriverVocabLimit): (Seq[BpeMerge], DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive (got $nMerges)")
-    val spark = documents.sparkSession
-    val words = wordFrequencies(documents).localCheckpoint(true)
     // bounded probe (the fetchDocsByIds pattern): limit+1 rows decide the path
     val probe = words.select("word", "cnt").limit(driverVocabLimit + 1).collect()
     if (probe.length <= driverVocabLimit) {
