@@ -26,9 +26,14 @@ import org.apache.spark.sql.SparkSession
  *
  * A rerun after a crash compares marker to watermark: equal ⇒ committed,
  * FINISH the swap (source deletes are idempotent); unequal or missing ⇒
- * uncommitted, discard staging — the sources are still intact. At no point
- * does a reader that enumerates `prefix` dirs (or reads via partition
- * discovery) see half-folded state.
+ * uncommitted, discard staging — the sources are still intact. Readers call
+ * [[ensureRecovered]] before enumerating `prefix` dirs, so a crash INSIDE
+ * the swap (sources deleted, staging not yet renamed — the one window where
+ * enumeration would miss folded rows) is healed by the first stored read,
+ * not only by the next maintenance compact(). The swap is still not atomic
+ * w.r.t. a reader running CONCURRENTLY with the fold itself — compaction is
+ * a maintenance operation and runs in the ingest loop's quiet slot (the
+ * Demo steady-state shape), like every metadata-less table format.
  *
  * Appends racing the fold are safe as long as they land ABOVE the folded
  * ids — both callers guarantee that (appendIvfPq refuses ids at or below
@@ -94,6 +99,34 @@ object FoldSwap {
     // sidecar; the rename below replaces only the data file, so drop it
     fs.delete(new Path(p.getParent, s".${p.getName}.crc"), false)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /**
+   * Finish an interrupted but COMMITTED swap, if any — called by stored
+   * READERS before enumerating `prefix` dirs, closing the post-crash window
+   * (watermark committed, sources deleted, staging still underscore-named)
+   * where enumeration would silently miss every folded row until the next
+   * maintenance compact(). Uncommitted staging needs nothing: the sources
+   * are intact and the underscore dir is invisible to discovery. Tolerant
+   * of racing recoverers: losing the rename is success iff the destination
+   * exists and staging is gone (the winner renamed it). A fold running
+   * concurrently in its pre-commit phase is left alone (its `_covers`
+   * cannot equal the current watermark — targets are strictly above it).
+   */
+  def ensureRecovered(spark: SparkSession, base: String, prefix: String): Unit = {
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"$base/$TmpName")
+    if (!fs.exists(tmp)) return
+    val w = compactedThrough(fs, base)
+    val tmpCovers = readLong(fs, new Path(s"$base/$TmpName/_covers"))
+    if (tmpCovers != w || w < 0) return // uncommitted — compact() discards it
+    listIds(fs, base, prefix).filter(_ <= w).foreach(id =>
+      fs.delete(new Path(s"$base/$prefix$id"), true))
+    val dest = new Path(s"$base/$prefix$w")
+    if (!fs.rename(tmp, dest))
+      require(fs.exists(dest) && !fs.exists(tmp),
+        s"compaction recovery rename failed for $base (staging $tmp)")
+    fs.delete(new Path(s"$base/$prefix$w/_covers"), false)
   }
 
   /**

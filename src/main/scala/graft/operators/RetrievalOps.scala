@@ -217,6 +217,10 @@ object RetrievalOps {
   def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // heal an interrupted-but-committed postings compaction before any scan
+    // (FoldSwap.ensureRecovered doc) — stats sidecars are never folded and
+    // need no recovery
+    graft.icelite.FoldSwap.ensureRecovered(spark, s"$path/postings", "batch_id=")
     val nBuckets = readPostingsMeta(spark, path)
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()

@@ -649,8 +649,14 @@ object SimilarityOps {
       "index metadata carries no training assignment stats " +
         "(pre-drift-detection index) — rebuild with writeIvfPq to enable ivfDrift"))
     val batch = assignStats(newVectors, meta.index)
-    val mr = batch.meanDist / train.meanDist
-    val pr = batch.p95Dist / train.p95Dist
+    // degenerate training distributions (every training vector ON its
+    // centroid → meanDist/p95Dist = 0) must not produce NaN ratios that
+    // silently compare false against the thresholds: 0/0 = "no movement"
+    // (ratio 1), x/0 = unbounded drift (ratio ∞ ⇒ rebuild) — errs loud
+    def ratio(b: Double, t: Double): Double =
+      if (t > 0) b / t else if (b == 0) 1.0 else Double.PositiveInfinity
+    val mr = ratio(batch.meanDist, train.meanDist)
+    val pr = ratio(batch.p95Dist, train.p95Dist)
     DriftReport(batch, train, mr, pr, mr > meanRatioMax || pr > p95RatioMax)
   }
 
@@ -828,6 +834,11 @@ object SimilarityOps {
                          queries: DataFrame, index: IvfIndex,
                          codebooks: Array[Array[Array[Double]]], k: Int = 5,
                          nprobe: Int = 4, shortlist: Int = 64): DataFrame = {
+    // heal an interrupted-but-committed compaction before partition
+    // discovery — otherwise a crash inside the fold's swap window would
+    // serve a top-k silently missing every folded batch until the next
+    // maintenance compactIvfPq
+    graft.icelite.FoldSwap.ensureRecovered(spark, path, "batch_id=")
     val probeQs = queries.select(
       explode(graft.functions.CentroidIds(
         col("qvec").cast("array<double>"), index.centroids, nprobe)).as("list_id"))

@@ -459,15 +459,33 @@ object TextOps {
     } else trainBpeDistributed(words, nMerges, endOfWord)
   }
 
+  /** How many chained merge folds to collapse into one plan before cutting
+    * lineage — CollapseProject inlines each withColumn (single-reference
+    * alias), so without a periodic checkpoint a production merge table
+    * (thousands of entries) becomes one nMerges-deep nested aggregate()
+    * expression that Catalyst cannot analyze or codegen. */
+  val BpeApplyStageDepth = 24
+
   /** Segment `words(word, cnt, ...)` with a fixed merge table, each fold
-    * staged through its own projection (Catalyst may re-collapse them; the
-    * staging keeps the authored plan linear and checkpoint-insertable). */
+    * staged through its own projection and the lineage cut every
+    * [[BpeApplyStageDepth]] merges (previous checkpoint unpersisted — the
+    * trainBpeDistributed pattern). */
   private def applyBpeMergesStaged(words: DataFrame, merges: Seq[(String, String)],
-                                   endOfWord: Option[String]): DataFrame =
-    merges.foldLeft(
+                                   endOfWord: Option[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.InternalRowShim
+    var lastCheckpoint: Option[DataFrame] = None
+    merges.zipWithIndex.foldLeft(
       words.withColumn("seg", charSegmentation(col("word"), endOfWord))) {
-      case (df, (a, b)) => df.withColumn("seg", bpeMergeOnce(col("seg"), a, b))
+      case (df, ((a, b), i)) =>
+        val next = df.withColumn("seg", bpeMergeOnce(col("seg"), a, b))
+        if ((i + 1) % BpeApplyStageDepth == 0 && i + 1 < merges.size) {
+          val cut = next.localCheckpoint(true)
+          lastCheckpoint.foreach(InternalRowShim.unpersistCheckpoint)
+          lastCheckpoint = Some(cut)
+          cut
+        } else next
     }
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -478,7 +496,12 @@ object TextOps {
   private[graft] def trainBpeDriver(words: Seq[(String, Long)], nMerges: Int,
                                     endOfWord: Option[String]): Seq[BpeMerge] = {
     var vocab: Seq[(Array[String], Long)] = words.map { case (w, c) =>
-      (w.map(_.toString).toArray ++ endOfWord.toSeq, c)
+      // segment by CODE POINTS, not UTF-16 code units — Spark's
+      // length/substr count code points, so splitting a non-BMP char
+      // (emoji) into surrogate halves here would diverge from
+      // charSegmentation and break the driver≡distributed contract
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        ++ endOfWord.toSeq, c)
     }
     val out = Seq.newBuilder[BpeMerge]
     var r = 1

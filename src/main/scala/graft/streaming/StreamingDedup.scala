@@ -106,6 +106,12 @@ object StreamingDedup {
           //    becomes empty, and re-crawled near-dups would SURVIVE with
           //    no error (the exact silent-wrong-output this stage guards
           //    against).
+          //  - an interrupted-but-committed history compaction is healed
+          //    BEFORE enumerating (FoldSwap.ensureRecovered): a crash in
+          //    compactHistory's swap window would otherwise hide every
+          //    folded batch from this listing and let their re-crawls
+          //    survive as "new" docs
+          graft.icelite.FoldSwap.ensureRecovered(spark, outDir, "batch_id=")
           val outPath = new org.apache.hadoop.fs.Path(outDir)
           val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
           val committed =

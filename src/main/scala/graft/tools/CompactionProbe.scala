@@ -33,14 +33,6 @@ object CompactionProbe {
     }.min
   }
 
-  private def parquetFiles(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .count(_.toString.endsWith(".parquet"))
-  }
-
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val days = sys.env.getOrElse("COMPACT_PROBE_DAYS", "12").toInt
@@ -80,10 +72,10 @@ object CompactionProbe {
         .select("query_id", "vec_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val annBefore = annRun()
-    val annFilesBefore = parquetFiles(idxDir)
+    val annFilesBefore = ProbeFs.parquetFiles(idxDir)
     val annSecBefore = timeMin3(() => annRun())
     val annFolded = SimilarityOps.compactIvfPq(spark, idxDir)
-    val annFilesAfter = parquetFiles(idxDir)
+    val annFilesAfter = ProbeFs.parquetFiles(idxDir)
     val annSecAfter = timeMin3(() => annRun())
     val annIdentical = annRun() == annBefore
     require(annIdentical, "ANN fold changed query results")
@@ -115,10 +107,10 @@ object CompactionProbe {
       DedupOps.fetchDocsByIds(history, candidateIds).count()
     }
     val histRowsBefore = histRun()
-    val histFilesBefore = parquetFiles(histDir)
+    val histFilesBefore = ProbeFs.parquetFiles(histDir)
     val histSecBefore = timeMin3(() => histRun())
     val histFolded = StreamingDedup.compactHistory(spark, histDir)
-    val histFilesAfter = parquetFiles(histDir)
+    val histFilesAfter = ProbeFs.parquetFiles(histDir)
     val histSecAfter = timeMin3(() => histRun())
     val histIdentical = histRun() == histRowsBefore
     require(histIdentical, "history fold changed fetched candidate rows")

@@ -34,14 +34,6 @@ object RetrievalProbe {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }.min
 
-  private def parquetFiles(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .count(_.toString.endsWith(".parquet"))
-  }
-
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nDocs = sys.env.getOrElse("RETRIEVAL_PROBE_DOCS", "500000").toLong
@@ -88,38 +80,22 @@ object RetrievalProbe {
     val identical = memRows == storedRows && memRows.nonEmpty
     require(identical, "stored top-k diverged from the in-memory path at 10x")
 
-    // file-count pruning: dirs the query batch's term buckets touch vs total
-    val probedBuckets = queries
+    // file-count pruning: dirs a query set's term buckets touch vs total.
+    // The bucket derivation mirrors bm25TopKStored's (same normText,
+    // xxhash64, pmod) — one local def so it cannot fork between the two
+    // measurements below
+    def bucketsOf(qs: DataFrame): Set[Int] = qs
       .select(explode(array_distinct(
         split(DedupOps.normText(col("qtext")), " "))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val filesTotal = parquetFiles(s"$path/postings")
-    val filesProbed = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/postings"))
-        .iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .count(f => "tb=(\\d+)".r.findFirstMatchIn(f.toString)
-          .exists(m => probedBuckets.contains(m.group(1).toInt)))
-    }
+    val filesTotal = ProbeFs.parquetFiles(s"$path/postings")
+    val filesProbed = ProbeFs.parquetFilesInBuckets(s"$path/postings", bucketsOf(queries))
 
     // a single query is the pruning story the batch union hides (32 probes
     // × 6 terms cover most of the 128 buckets; one probe touches ≤ 6)
     val q1 = queries.limit(1).localCheckpoint(true)
-    val q1Buckets = q1
-      .select(explode(array_distinct(
-        split(DedupOps.normText(col("qtext")), " "))).as("term"))
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val q1Files = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/postings"))
-        .iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .count(f => "tb=(\\d+)".r.findFirstMatchIn(f.toString)
-          .exists(m => q1Buckets.contains(m.group(1).toInt)))
-    }
+    val q1Files = ProbeFs.parquetFilesInBuckets(s"$path/postings", bucketsOf(q1))
     val q1Sec = timeMin3(() =>
       { RetrievalOps.bm25TopKStored(spark, path, q1, k = 10).collect(); () })
 
@@ -128,7 +104,7 @@ object RetrievalProbe {
     val storedSecFolded = timeMin3(() =>
       storedRows = key(RetrievalOps.bm25TopKStored(spark, path, queries, k = 10)))
     require(memRows == storedRows, "compaction changed stored top-k at 10x")
-    val filesFolded = parquetFiles(s"$path/postings")
+    val filesFolded = ProbeFs.parquetFiles(s"$path/postings")
 
     val postingsRows = spark.read.parquet(s"$path/postings").count()
     val json =

@@ -142,6 +142,23 @@ class OperatorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextOps.learnBpeMerges(docs, 0))
   }
 
+  test("BPE trainer: non-BMP text segments by CODE POINTS on both paths (no surrogate-half symbols)") {
+    import spark.implicits._
+    val smile = new String(Character.toChars(0x1F600)) // 😀 — needs a surrogate pair in UTF-16
+    val docs = Seq(s"$smile$smile $smile$smile").toDF("text")
+    val (mD, vD) = TextOps.learnBpeMerges(docs, nMerges = 1)
+    val (mX, vX) = TextOps.learnBpeMerges(docs, nMerges = 1, driverVocabLimit = 0)
+    assert(mD == mX, s"driver $mD vs distributed $mX diverged on non-BMP input")
+    // the learned symbols are whole code points — a code-UNIT segmentation
+    // would see 4 surrogate-half symbols per word and count the top pair 2×2
+    assert(mD.head.pairCount == 2L, s"unexpected pair count ${mD.head}")
+    assert(Seq(mD.head.left, mD.head.right).forall(s =>
+      s == "</w>" || s == smile), s"surrogate-half symbol in ${mD.head}")
+    def segs(v: org.apache.spark.sql.DataFrame) =
+      v.orderBy("word").collect().map(r => (r.getString(0), r.getSeq[String](2).toList)).toList
+    assert(segs(vD) == segs(vX))
+  }
+
   test("BPE apply with a fixed merge table: chained merge consumes prior output, no-op words untouched") {
     import spark.implicits._
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n")) // = SparkEntry's q_bpe_apply table

@@ -958,6 +958,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(shifted.rebuildRecommended, shifted.toString)
     assert(shifted.meanRatio > same.meanRatio, s"$shifted vs $same")
 
+    // DEGENERATE training stats (every training vector ON its centroid →
+    // meanDist = p95 = 0) must not poison the ratios with NaN: a real batch
+    // against a zero baseline is unbounded drift (∞ ⇒ rebuild), never a
+    // NaN that compares false against every threshold
+    val metaZero = meta.copy(trainStats =
+      Some(SimilarityOps.AssignStats(0.0, 0.0, 10L)))
+    val degen = SimilarityOps.ivfDrift(mkEmb(300, 400, 0.0f), metaZero)
+    assert(degen.rebuildRecommended, degen.toString)
+    assert(!degen.meanRatio.isNaN && !degen.p95Ratio.isNaN, degen.toString)
+    assert(degen.meanRatio.isPosInfinity, degen.toString)
+
     // an index written before drift detection existed fails LOUDLY, not
     // with a fabricated baseline
     val legacy = "target/fixtures/ann_drift_legacy_" + System.nanoTime()
@@ -1081,6 +1092,25 @@ class PipelineSpec extends AnyFunSuite {
       .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(dirs2 == 1, s"rerun did not finish the swap: $dirs2 batch dirs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/_compact_tmp")), "staging leaked")
+
+    // crash INSIDE the swap (watermark committed, source dirs already
+    // deleted, staging not yet renamed — the one window where partition
+    // discovery would miss every folded row): the stored READER must heal
+    // the committed fold via FoldSwap.ensureRecovered and serve complete
+    // results, not silently return a shrunken top-k until the next
+    // maintenance compact
+    val p3 = build()
+    val want3 = key(p3)
+    intercept[RuntimeException] {
+      SimilarityOps.compactIvfPq(spark, p3, failAt = Some("after-commit"))
+    }
+    Seq(0, 1).foreach(id => // simulate finishSwap's deletes having run
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p3/batch_id=$id"), true))
+    assert(key(p3) == want3, "reader served partial results from the swap-crash window")
+    assert(spark.read.parquet(p3).count() == 260)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/_compact_tmp")),
+      "reader healing did not finish the swap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p3/batch_id=1")))
   }
 
   test("BM25 stored postings: partition-pruned probe, scores exactly equal the in-memory path across batches") {
@@ -1214,6 +1244,20 @@ class PipelineSpec extends AnyFunSuite {
       .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(dirs2 == 1, s"rerun did not finish the swap: $dirs2 batch dirs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p2/postings/_compact_tmp")))
+
+    // crash INSIDE the swap (sources deleted, staging not renamed): the
+    // stored reader heals the committed fold and scores stay exact — a
+    // shrunken postings set would silently change df/avgdl, not just drop docs
+    val p3 = build()
+    val want3 = key(p3)
+    intercept[RuntimeException] {
+      RetrievalOps.compactPostings(spark, p3, failAt = Some("after-commit"))
+    }
+    Seq(0, 1).foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p3/postings/batch_id=$id"), true))
+    assert(key(p3) == want3, "reader served scores from a half-swapped postings set")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p3/postings/_compact_tmp")),
+      "reader healing did not finish the swap")
   }
 
   test("compaction folds only COMMITTED batches: a half-committed batch stays out and stays replayable") {
