@@ -33,6 +33,15 @@ object SparkEntry {
     * rank-2 merge consumes rank-1's output symbol, exercising chaining. */
   private val BpeApplyMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"))
 
+  /** Fixed 8-centroid quantizer for q_dedup_semantic — DRIVER-CHOSEN (not
+    * trained, so the oracle inlines the identical values; a trained index
+    * would differ per scale factor). Components are quarter-integers in
+    * [-0.75, 0.75] — exactly representable, spread across the isotropic
+    * embedding space so every cluster is populated. */
+  private val SemanticCentroids: Array[Array[Double]] =
+    Array.tabulate(8, 64)((j, i) => ((i * (j + 3) + j) % 7 - 3) / 4.0)
+  private val SemanticIndex = SimilarityOps.IvfIndex(SemanticCentroids)
+
   // ---------------------------------------------------------------------
   // flagship
   // ---------------------------------------------------------------------
@@ -392,6 +401,17 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // --- semantic dedup (SemDeDup): IVF-cluster-scoped candidates + exact
+    // cosine verify. Oracle replays the identical argmin-centroid assignment
+    // (fixed centroids inlined) and the same-cluster pair + rounded-cosine
+    // predicate. Same rounded single-boundary convention as q_dedup_embedding.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000)
+      DedupOps.semanticNearDuplicates(emb, SemanticIndex, threshold = 0.0)
+        .filter(round(col("cos"), 6) >= 0.15)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
+
     // --- dedup: rolling-hash fingerprint near-dups with the RELATIVE
     // threshold (n_shared >= ceil(0.35 * min sketch size)). w=1 makes the
     // sketch the full k-gram hash set, so the output equals the exact
@@ -721,6 +741,26 @@ object SparkEntry {
     SimilarityOps.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product($vexpr, [${p.mkString(",")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB SELECT items `d0..d7`: euclidean distances from `vexpr` to the
+    * inlined q_dedup_semantic centroids. list_distance's sqrt is strictly
+    * monotone, so the argmin below equals CentroidIds' squared-distance
+    * argmin. */
+  private def semanticDistSql(vexpr: String): String =
+    SemanticCentroids.zipWithIndex.map { case (c, j) =>
+      s"list_distance($vexpr, [${c.mkString(",")}]) AS d$j"
+    }.mkString(", ")
+
+  /** DuckDB argmin over d0..d7 with the CentroidIds tie rule (strict `<`
+    * keeps the FIRST minimum): branch j fires iff d_j <= every LATER
+    * distance, which selects exactly the lowest-index minimum. */
+  private val semanticArgminSql: String = {
+    val n = SemanticCentroids.length
+    (0 until n).map { j =>
+      val later = ((j + 1) until n).map(k => s"d$j <= d$k")
+      if (later.isEmpty) s"ELSE $j" else s"WHEN ${later.mkString(" AND ")} THEN $j"
+    }.mkString("CASE ", " ", " END")
+  }
 
   private def lexiconValuesSql(singleWordOnly: Boolean): String =
     MiniOntology.expectedLexicon
@@ -1808,6 +1848,17 @@ object SparkEntry {
     // LSH oracles: DuckDB recomputes the engine's deterministic hyperplane
     // buckets from inlined plane literals, then applies the same candidate
     // predicate + exact cosine — a full value-level check of the LSH path.
+    "q_dedup_semantic" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 1000),
+         |d AS (SELECT vec_id, v, ${semanticDistSql("v")} FROM e),
+         |a AS (SELECT vec_id, v, $semanticArgminSql AS list_id FROM d)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+         |FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.15""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -664,14 +664,68 @@ object DedupOps {
    * the candidate self-pairing.
    */
   def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double = 0.95,
-                              planes: Int = 16, dim: Int = 64): DataFrame = {
-    val cand = embeddingCandidates(embeddings, planes, dim)
+                              planes: Int = 16, dim: Int = 64): DataFrame =
+    verifyCosine(embeddingCandidates(embeddings, planes, dim), embeddings, threshold)
+
+  /** Exact-cosine verify of candidate (a, b) pairs: the vectors join the
+    * NARROW pair list once per side — vector bytes never enter the
+    * candidate self-pairing (shared by the LSH and the semantic/IVF
+    * candidate generators). */
+  private def verifyCosine(cand: DataFrame, embeddings: DataFrame,
+                           threshold: Double): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "vec_a"), "a")
       .join(vecs.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vec_b"), "b")
       .select(col("a"), col("b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  // -------------------------------------------------------------------------
+  // semantic dedup (SemDeDup: cluster-scoped embedding near-dup)
+  // -------------------------------------------------------------------------
+
+  /**
+   * SemDeDup candidates (Abbas et al. 2023, arXiv:2303.09540): vectors are
+   * assigned to their nearest IVF centroid (nprobe = 1) and only SAME-CLUSTER
+   * vectors can pair — the learned-centroid counterpart of
+   * [[embeddingCandidates]]' random hyperplanes, trading the multiprobe
+   * recall dial for data-adapted partitions. The quantizer is the SAME
+   * [[SimilarityOps.IvfIndex]] the ANN tier trains, so one clustering serves
+   * retrieval AND dedup.
+   *
+   * Scale shape identical to the LSH generator: only narrow
+   * (doc_id, list_id) rows shuffle — vectors stay in the scan — and
+   * [[bucketPairs]]' mega-bucket guard drops a degenerate cluster LOUDLY
+   * instead of exploding it quadratically. Size the index so the expected
+   * cluster stays well under [[MaxBucket]] (nLists ≳ corpus / MaxBucket,
+   * the Dials convention).
+   */
+  def semanticCandidates(embeddings: DataFrame,
+                         index: SimilarityOps.IvfIndex): DataFrame = {
+    val assigned = embeddings.select(col("vec_id").as("doc_id"),
+      element_at(
+        graft.functions.CentroidIds(col("embedding"), index.centroids, 1), 1)
+        .as("list_id"))
+    bucketPairs(assigned, "list_id")
+  }
+
+  /** Cluster-scoped cosine near-duplicates ≥ threshold (pairs + exact cos):
+    * [[semanticCandidates]] then the shared one-rejoin verify. */
+  def semanticNearDuplicates(embeddings: DataFrame,
+                             index: SimilarityOps.IvfIndex,
+                             threshold: Double = 0.95): DataFrame =
+    verifyCosine(semanticCandidates(embeddings, index), embeddings, threshold)
+
+  /** Doc-level SemDeDup decision: connected near-dup groups keep their min
+    * vec_id (the [[minhashSurvivors]] rule in the embedding space). */
+  def semanticSurvivors(embeddings: DataFrame, index: SimilarityOps.IvfIndex,
+                        threshold: Double = 0.95): DataFrame = {
+    val groups = nearDupGroups(
+      semanticNearDuplicates(embeddings, index, threshold).select("a", "b"))
+    val dropped = groups.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(dropped, Seq("vec_id"), "left_anti")
   }
 
   // -------------------------------------------------------------------------

@@ -758,6 +758,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("semantic dedup: candidates are CLUSTER-scoped — a cosine-identical cross-cluster pair is invisible; survivors keep min id") {
+    import spark.implicits._
+    // c0 = all-ones, c1 = origin: v0, v1 land in cluster 0 (L2), v2 — tiny
+    // magnitude, IDENTICAL direction, cosine(v0,v2) = cosine(v1,v2) = 1.0 —
+    // lands in cluster 1. SemDeDup's defining semantics: the cross-cluster
+    // near-identical pair is NOT a candidate; the within-cluster pair is.
+    val emb = Seq(
+      (0L, Array(2.0f, 2.0f, 2.0f, 2.0f)),
+      (1L, Array(1.9f, 1.9f, 1.9f, 1.9f)),
+      (2L, Array(0.1f, 0.1f, 0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val index = SimilarityOps.IvfIndex(Array(
+      Array(1.0, 1.0, 1.0, 1.0), Array(0.0, 0.0, 0.0, 0.0)))
+    val pairs = DedupOps.semanticNearDuplicates(emb, index, threshold = 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    val surv = DedupOps.semanticSurvivors(emb, index, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(0L, 2L), s"got $surv") // group {0,1} keeps 0; 2 untouched
+  }
+
   test("bucket guard drops mega-buckets LOUDLY (observed metrics)") {
     // 10001 identical vectors → every probed bucket exceeds MaxBucket
     val emb = spark.range(10001).select(col("id").as("vec_id"),
