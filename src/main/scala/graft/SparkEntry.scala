@@ -406,7 +406,10 @@ object SparkEntry {
     // (fixed centroids inlined) and the same-cluster pair + rounded-cosine
     // predicate. Same rounded single-boundary convention as q_dedup_embedding.
     "q_dedup_semantic" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000)
+      // vec_id < 500: the full sf0.001 set; at larger SFs a fixed-size
+      // subset keeps the oracle's candidate count (and the interpreted-HOF
+      // cosine verify it feeds) bounded — the machinery exercised is identical
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 500)
       DedupOps.semanticNearDuplicates(emb, SemanticIndex, threshold = 0.0)
         .filter(round(col("cos"), 6) >= 0.15)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
@@ -1851,7 +1854,7 @@ object SparkEntry {
     "q_dedup_semantic" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM embeddings WHERE vec_id < 1000),
+         |  FROM embeddings WHERE vec_id < 500),
          |d AS (SELECT vec_id, v, ${semanticDistSql("v")} FROM e),
          |a AS (SELECT vec_id, v, $semanticArgminSql AS list_id FROM d)
          |SELECT x.vec_id AS a, y.vec_id AS b,

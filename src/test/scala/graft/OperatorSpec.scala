@@ -890,6 +890,25 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("plan: semantic-dedup candidate generation never shuffles vectors") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.range(200).select(col("id").as("vec_id"),
+        array((0 until 8).map(i => (col("id") * (i + 1) % 13).cast("float") - 6.0f): _*).as("embedding"))
+      val index = SimilarityOps.IvfIndex(
+        Array.tabulate(4, 8)((j, i) => ((i + j) % 5 - 2) / 2.0))
+      val plan = DedupOps.semanticCandidates(emb, index).queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(e.output.forall(a => !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"vector column crosses an exchange: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan: span dedup shuffles only narrow (doc_id, pos, hash) rows — never text or token arrays") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -1375,6 +1394,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dials.retrievalBuckets(50000L) == 16)
     assert(Dials.retrievalBuckets(500000L) == 128) // the RetrievalProbe corpus
     assert(Dials.retrievalBuckets(1000000000000L) == 4096)
+    // SemDeDup lists: ~1k docs per expected cluster between the 8 floor and
+    // the 65536 flat-quantizer cap; expected cluster stays under the
+    // mega-bucket guard up to the documented ~6e8-doc boundary
+    assert(Dials.semanticLists(500L) == 8)
+    assert(Dials.semanticLists(55000L) == 64)
+    assert(Dials.semanticLists(1000000L) == 1024)
+    assert(Dials.semanticLists(1000000000L) == 65536)
+    for (n <- Seq(10000L, 1000000L, 100000000L, 600000000L))
+      assert(n / Dials.semanticLists(n) < DedupOps.MaxBucket,
+        s"expected cluster ${n / Dials.semanticLists(n)} breaches the guard at n=$n")
   }
 
   // ---------------- incremental-dedup store layout ----------------
