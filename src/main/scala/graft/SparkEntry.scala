@@ -36,10 +36,12 @@ object SparkEntry {
   /** Fixed 8-centroid quantizer for q_dedup_semantic — DRIVER-CHOSEN (not
     * trained, so the oracle inlines the identical values; a trained index
     * would differ per scale factor). Components are quarter-integers in
-    * [-0.75, 0.75] — exactly representable, spread across the isotropic
-    * embedding space so every cluster is populated. */
-  private val SemanticCentroids: Array[Array[Double]] =
-    Array.tabulate(8, 64)((j, i) => ((i * (j + 3) + j) % 7 - 3) / 4.0)
+    * [-1, 1] — exactly representable. Mod 9 (not 7): with `% 7` the
+    * multiplier (j+3) cycles with period 7 and rows 0 and 7 coincide —
+    * a permanent d0 == d7 tie that silently left cluster 7 unreachable.
+    * The distinctness of all 8 rows is test-pinned. */
+  private[graft] val SemanticCentroids: Array[Array[Double]] =
+    Array.tabulate(8, 64)((j, i) => ((i * (j + 2) + j) % 9 - 4) / 4.0)
   private val SemanticIndex = SimilarityOps.IvfIndex(SemanticCentroids)
 
   // ---------------------------------------------------------------------

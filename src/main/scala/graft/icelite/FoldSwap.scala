@@ -101,17 +101,62 @@ object FoldSwap {
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Swap-finish CLAIM file (the icelite snapshot-claim CAS precedent):
+    * whoever atomically CREATE_NEWs it owns the three finish steps. Without
+    * it, two racing finishers lose data — the delete set includes the very
+    * path the winner renames staging into, so the loser's delete destroys
+    * the only surviving copy of every folded batch. */
+  val ClaimName = "_recover.claim"
+
+  /** Bounded wait for another party's finish (tests shrink it). */
+  private[graft] var FinishWaitMs: Long = 60000L
+
+  private def claimPath(base: String) = new Path(s"$base/$ClaimName")
+
+  private def tryClaim(fs: FileSystem, base: String): Boolean =
+    try { fs.create(claimPath(base), false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  private def releaseClaim(fs: FileSystem, base: String): Unit =
+    fs.delete(claimPath(base), false)
+
+  /** The three finish steps — ONE definition shared by [[compact]] and
+    * [[ensureRecovered]] so the delete-set rule can never fork between
+    * writer recovery and reader healing. MUST be called holding the claim. */
+  private def finishSwap(fs: FileSystem, base: String, prefix: String, w: Long): Unit = {
+    listIds(fs, base, prefix).filter(_ <= w).foreach(id =>
+      fs.delete(new Path(s"$base/$prefix$id"), true))
+    require(fs.rename(new Path(s"$base/$TmpName"), new Path(s"$base/$prefix$w")),
+      s"compaction rename failed for $base")
+    fs.delete(new Path(s"$base/$prefix$w/_covers"), false)
+  }
+
+  /** Wait (bounded) for the claim holder's finish; loud failure names the
+    * remedy — a stale claim is a crash-mid-finish artifact only compact()
+    * (the single maintenance writer) may take over. */
+  private def awaitFinished(fs: FileSystem, base: String): Unit = {
+    val tmp = new Path(s"$base/$TmpName")
+    val deadline = System.nanoTime() + FinishWaitMs * 1000000L
+    while (fs.exists(tmp) && System.nanoTime() < deadline) Thread.sleep(100L)
+    if (fs.exists(tmp)) throw new IllegalStateException(
+      s"committed compaction swap at $base still unfinished after $FinishWaitMs ms " +
+        s"while another party holds $ClaimName — if that process is dead, run the " +
+        "table's maintenance compact() (it takes over stale claims after the same wait)")
+  }
+
   /**
    * Finish an interrupted but COMMITTED swap, if any — called by stored
    * READERS before enumerating `prefix` dirs, closing the post-crash window
    * (watermark committed, sources deleted, staging still underscore-named)
    * where enumeration would silently miss every folded row until the next
    * maintenance compact(). Uncommitted staging needs nothing: the sources
-   * are intact and the underscore dir is invisible to discovery. Tolerant
-   * of racing recoverers: losing the rename is success iff the destination
-   * exists and staging is gone (the winner renamed it). A fold running
-   * concurrently in its pre-commit phase is left alone (its `_covers`
-   * cannot equal the current watermark — targets are strictly above it).
+   * are intact and the underscore dir is invisible to discovery. A fold
+   * running concurrently in its pre-commit phase is left alone (its
+   * `_covers` cannot equal the current watermark — targets are strictly
+   * above it). Finishing is CLAIM-serialized; a reader that loses the claim
+   * waits for the holder and fails LOUDLY on timeout (a reader never takes
+   * over a stale claim — presumed-dead judgements belong to the single
+   * maintenance writer, not to N concurrent readers).
    */
   def ensureRecovered(spark: SparkSession, base: String, prefix: String): Unit = {
     val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
@@ -120,13 +165,15 @@ object FoldSwap {
     val w = compactedThrough(fs, base)
     val tmpCovers = readLong(fs, new Path(s"$base/$TmpName/_covers"))
     if (tmpCovers != w || w < 0) return // uncommitted — compact() discards it
-    listIds(fs, base, prefix).filter(_ <= w).foreach(id =>
-      fs.delete(new Path(s"$base/$prefix$id"), true))
-    val dest = new Path(s"$base/$prefix$w")
-    if (!fs.rename(tmp, dest))
-      require(fs.exists(dest) && !fs.exists(tmp),
-        s"compaction recovery rename failed for $base (staging $tmp)")
-    fs.delete(new Path(s"$base/$prefix$w/_covers"), false)
+    if (tryClaim(fs, base)) {
+      try {
+        // re-check under the claim: the state may have moved between the
+        // unclaimed peek and the claim grant
+        if (fs.exists(tmp) &&
+          readLong(fs, new Path(s"$base/$TmpName/_covers")) == compactedThrough(fs, base))
+          finishSwap(fs, base, prefix, w)
+      } finally releaseClaim(fs, base)
+    } else awaitFinished(fs, base)
   }
 
   /**
@@ -145,13 +192,20 @@ object FoldSwap {
     val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(s"$base/$TmpName")
     val covers = new Path(s"$base/$TmpName/_covers")
-    def finishSwap(w: Long, folded: Seq[Long]): Unit = {
-      folded.filter(_ <= w).foreach(id =>
-        fs.delete(new Path(s"$base/$prefix$id"), true))
-      require(fs.rename(tmp, new Path(s"$base/$prefix$w")),
-        s"compaction rename failed for $base")
-      fs.delete(new Path(s"$base/$prefix$w/_covers"), false)
-    }
+    // claim-or-take-over: compact IS the single maintenance writer, so a
+    // claim that outlives [[FinishWaitMs]] is a crash-mid-finish artifact
+    // (or a wedged finisher — the contract's operator call); readers only
+    // wait, compact may break it.
+    def claimAsMaintenance(): Unit =
+      if (!tryClaim(fs, base)) {
+        try awaitFinished(fs, base) // a LIVE finisher completes well within
+        catch {
+          case _: IllegalStateException =>
+            releaseClaim(fs, base)
+            require(tryClaim(fs, base),
+              s"could not take over the stale $ClaimName at $base")
+        }
+      }
     // crash recovery from a previous run
     if (fs.exists(tmp)) {
       val w = compactedThrough(fs, base)
@@ -160,9 +214,16 @@ object FoldSwap {
         // committed: finish. Deleting every remaining source dir at or
         // below the watermark is exactly the interrupted swap's delete set
         // (fold sets are always "all selected ids ≤ target").
-        finishSwap(w, listIds(fs, base, prefix)); return w
+        claimAsMaintenance()
+        if (fs.exists(tmp)) // a racing reader may have finished during the wait
+          try finishSwap(fs, base, prefix, w) finally releaseClaim(fs, base)
+        else releaseClaim(fs, base)
+        return w
       } else fs.delete(tmp, true) // uncommitted: sources intact, discard staging
     }
+    // any claim with NO staging behind it is stale (a finisher crashed after
+    // its rename but before releasing) — sweep so it cannot wedge readers
+    if (fs.exists(claimPath(base))) releaseClaim(fs, base)
     val ids = listIds(fs, base, prefix)
     val foldable = selectFoldable(ids)
     if (foldable.size <= 1) return compactedThrough(fs, base)
@@ -182,7 +243,13 @@ object FoldSwap {
     writeLong(fs, new Path(s"$base/$WatermarkName"), target) // COMMIT POINT
     if (failAt.contains("after-commit"))
       throw new RuntimeException("failpoint: after-commit")
-    finishSwap(target, foldable)
+    // the claim is taken AFTER the commit point: a crash here leaves no
+    // claim, so reader healing stays immediate for the common crash; only a
+    // crash INSIDE finishSwap leaves a stale claim (readers fail loudly,
+    // the next compact takes it over after the wait)
+    if (tryClaim(fs, base)) {
+      try finishSwap(fs, base, prefix, target) finally releaseClaim(fs, base)
+    } else awaitFinished(fs, base) // a reader claimed first and is finishing
     target
   }
 }

@@ -117,11 +117,17 @@ object Dials {
    * across executors — probe cost per term stays ~corpus/4096 reads, which
    * is the scan's floor anyway once a bucket exceeds one split).
    */
+  /** Next power of two of `want`, clamped to [floorVal, 1 << capPow] — the
+    * shared bucket/list sizing idiom (ONE definition: the ceil-log2 form
+    * has a known float edge at exact powers of two; a fix must not fork). */
+  private def pow2Clamp(want: Double, floorVal: Int, capPow: Int): Int = {
+    val pow = math.ceil(math.log(math.max(1.0, want)) / math.log(2.0)).toInt
+    math.min(1 << capPow, math.max(floorVal, 1 << math.min(capPow, math.max(0, pow))))
+  }
+
   def retrievalBuckets(corpusDocs: Long): Int = {
     require(corpusDocs >= 1, s"bad corpus size $corpusDocs")
-    val want = math.max(1.0, corpusDocs.toDouble / 4000.0)
-    val pow = math.ceil(math.log(want) / math.log(2.0)).toInt
-    math.min(4096, math.max(16, 1 << math.min(12, pow)))
+    pow2Clamp(corpusDocs.toDouble / 4000.0, floorVal = 16, capPow = 12)
   }
 
   /**
@@ -138,8 +144,6 @@ object Dials {
    */
   def semanticLists(corpusSize: Long): Int = {
     require(corpusSize >= 1, s"bad corpus size $corpusSize")
-    val want = math.max(1.0, corpusSize.toDouble / 1024.0)
-    val pow = math.ceil(math.log(want) / math.log(2.0)).toInt
-    math.min(65536, math.max(8, 1 << math.min(16, pow)))
+    pow2Clamp(corpusSize.toDouble / 1024.0, floorVal = 8, capPow = 16)
   }
 }

@@ -9,23 +9,24 @@ package graft.tools
 object ProbeFs {
   import scala.jdk.CollectionConverters._
 
-  /** Number of .parquet files under `dir` (0 when absent). */
-  def parquetFiles(dir: String): Long = {
+  /** Walk `dir` with the stream CLOSED afterwards (Files.walk holds open
+    * DirectoryStreams — dropping it leaks a descriptor per directory). */
+  private def walkCount(dir: String)(pred: java.nio.file.Path => Boolean): Long = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .count(_.toString.endsWith(".parquet"))
+    else scala.util.Using.resource(java.nio.file.Files.walk(p))(
+      _.iterator().asScala.count(pred).toLong)
   }
+
+  /** Number of .parquet files under `dir` (0 when absent). */
+  def parquetFiles(dir: String): Long =
+    walkCount(dir)(_.toString.endsWith(".parquet"))
 
   /** Number of .parquet files under `dir` whose path carries a `tb=<n>`
     * partition value in `buckets` — "files a pruned query opens". */
   def parquetFilesInBuckets(dir: String, buckets: Set[Int]): Long = {
     val re = "tb=(\\d+)".r
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .count(f => re.findFirstMatchIn(f.toString)
-        .exists(m => buckets.contains(m.group(1).toInt)))
+    walkCount(dir)(f => f.toString.endsWith(".parquet") &&
+      re.findFirstMatchIn(f.toString).exists(m => buckets.contains(m.group(1).toInt)))
   }
 }

@@ -1260,6 +1260,47 @@ class PipelineSpec extends AnyFunSuite {
       "reader healing did not finish the swap")
   }
 
+  test("swap finish is CLAIM-serialized: a stale claim fails readers loudly; the maintenance compact takes it over") {
+    import spark.implicits._
+    import graft.operators.RetrievalOps
+    import graft.icelite.FoldSwap
+    def mkDocs(from: Int, until: Int) =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 3) + i, lit(40)))): _*).as("text"))
+    val queries = Seq((1L, "w7 w21")).toDF("query_id", "qtext")
+    val p = "target/fixtures/bm25_claim_" + System.nanoTime()
+    RetrievalOps.writePostingsIndex(mkDocs(0, 100), p, nBuckets = 8)
+    RetrievalOps.appendPostingsIndex(mkDocs(100, 140), p, batchId = 1)
+    def key() = RetrievalOps.bm25TopKStored(spark, p, queries, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toSet
+    val want = key()
+    val fs = new org.apache.hadoop.fs.Path("target").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    intercept[RuntimeException] {
+      RetrievalOps.compactPostings(spark, p, failAt = Some("after-commit"))
+    }
+    // simulate a finisher that died HOLDING the claim (the only crash that
+    // leaves one — the claim is taken after the commit point)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$p/postings/${FoldSwap.ClaimName}"), false).close()
+    val saved = FoldSwap.FinishWaitMs
+    FoldSwap.FinishWaitMs = 300L
+    try {
+      // a reader must NOT heal around someone else's claim (two concurrent
+      // finishers is the data-loss race) — it waits, then fails LOUDLY
+      val ex = intercept[IllegalStateException](key())
+      assert(ex.getMessage.contains(FoldSwap.ClaimName), ex.getMessage)
+      // the maintenance compact presumes the holder dead after the same
+      // wait, takes the claim over, and finishes the committed swap
+      assert(RetrievalOps.compactPostings(spark, p) == 1L)
+    } finally FoldSwap.FinishWaitMs = saved
+    assert(key() == want, "takeover changed visible scores")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/postings/_compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/postings/${FoldSwap.ClaimName}")),
+      "takeover leaked the claim")
+  }
+
   test("compaction folds only COMMITTED batches: a half-committed batch stays out and stays replayable") {
     import spark.implicits._
     import graft.operators.RetrievalOps
@@ -1353,6 +1394,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(zeroes == 0, s"$sf has $zeroes zero embedding vectors — extend the " +
         "-2.0 sentinel convention (q_ann_quantized/_fold) to the whole ANN family first")
     }
+    // ...and no NaN components: CentroidIds' documented NaN fallback assigns
+    // the FIRST untaken list while q_dedup_semantic's oracle CASE chain falls
+    // through to the LAST — a NaN in a refreshed fixture would flip the
+    // cluster assignment silently. Pin the invariant here, with the pointer.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val nans = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .filter(exists(col("embedding"), x => isnan(x)))
+        .count()
+      assert(nans == 0, s"$sf has $nans NaN-bearing embeddings — kernel NaN " +
+        "fallback (first list) and the q_dedup_semantic oracle CASE (last list) diverge")
+    }
+  }
+
+  test("oracle soundness: q_dedup_semantic's fixed quantizer has 8 DISTINCT centroids") {
+    // with the original `% 7` formula rows 0 and 7 coincided: a permanent
+    // d0 == d7 tie resolved to cluster 0 on both sides (gate still green)
+    // while cluster 7 was silently unreachable — pin full distinctness so a
+    // formula edit cannot reintroduce a degenerate quantizer
+    val rows = SparkEntry.SemanticCentroids.map(_.toSeq)
+    assert(rows.distinct.length == 8, "duplicate centroid rows")
   }
 
   test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
