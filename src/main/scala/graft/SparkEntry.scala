@@ -35,13 +35,20 @@ object SparkEntry {
 
   /** Fixed 8-centroid quantizer for q_dedup_semantic — DRIVER-CHOSEN (not
     * trained, so the oracle inlines the identical values; a trained index
-    * would differ per scale factor). Components are quarter-integers in
-    * [-1, 1] — exactly representable. Mod 9 (not 7): with `% 7` the
-    * multiplier (j+3) cycles with period 7 and rows 0 and 7 coincide —
-    * a permanent d0 == d7 tie that silently left cluster 7 unreachable.
-    * The distinctness of all 8 rows is test-pinned. */
+    * would differ per scale factor; Double.toString round-trips make the
+    * inlined literals bit-exact, the `planes` precedent). Rows are
+    * UNIT-NORMALIZED: the fixture embeddings are ~unit vectors, so L2
+    * nearest-centroid is dominated by centroid NORMS unless the centroids
+    * sit on the same sphere (two earlier cuts of this fixture left a
+    * cluster unreachable — first `% 7` made rows 0/7 coincide, then the
+    * distinct-but-unnormalized rows put centroid norms at 4.9–6.0 vs
+    * unit embeddings, starving cluster 7 and piling 60% on one list). The
+    * population of ALL 8 clusters on the driver fixtures is test-pinned. */
   private[graft] val SemanticCentroids: Array[Array[Double]] =
-    Array.tabulate(8, 64)((j, i) => ((i * (j + 2) + j) % 9 - 4) / 4.0)
+    Array.tabulate(8, 64)((j, i) => ((i * (j + 2) + j) % 9 - 4) / 4.0).map { row =>
+      val n = math.sqrt(row.map(x => x * x).sum)
+      row.map(_ / n)
+    }
   private val SemanticIndex = SimilarityOps.IvfIndex(SemanticCentroids)
 
   // ---------------------------------------------------------------------

@@ -105,7 +105,14 @@ object FoldSwap {
     * whoever atomically CREATE_NEWs it owns the three finish steps. Without
     * it, two racing finishers lose data — the delete set includes the very
     * path the winner renames staging into, so the loser's delete destroys
-    * the only surviving copy of every folded batch. */
+    * the only surviving copy of every folded batch. The claim carries an
+    * OWNER TOKEN: release verifies it, so no party can delete another's
+    * live claim (an unowned delete re-enables the two-finishers race
+    * through release/sweep interleavings). Takeover after [[FinishWaitMs]]
+    * is the lease-less trade: a finisher legitimately slower than the wait
+    * (pathological object-store delete stalls) would be raced — deployments
+    * where that is possible must raise the wait; true fencing needs a
+    * coordination service, a declared boundary. */
   val ClaimName = "_recover.claim"
 
   /** Bounded wait for another party's finish (tests shrink it). */
@@ -113,12 +120,44 @@ object FoldSwap {
 
   private def claimPath(base: String) = new Path(s"$base/$ClaimName")
 
-  private def tryClaim(fs: FileSystem, base: String): Boolean =
-    try { fs.create(claimPath(base), false).close(); true }
-    catch { case _: java.io.IOException => false }
+  /** Atomic CREATE_NEW with an owner token. Returns the token, or None when
+    * the claim is already held. Other IO faults PROPAGATE (the
+    * MetaIO.createNew exists-qualified semantics — swallowing them would
+    * misreport an FS outage as "claim held" and block reads for the wait). */
+  private def tryClaim(fs: FileSystem, base: String): Option[String] = {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(claimPath(base), false)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      Some(token)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+      case e: java.io.IOException =>
+        if (fs.exists(claimPath(base))) None else throw e
+    }
+  }
 
-  private def releaseClaim(fs: FileSystem, base: String): Unit =
-    fs.delete(claimPath(base), false)
+  private def readClaimToken(fs: FileSystem, base: String): Option[String] =
+    if (!fs.exists(claimPath(base))) None
+    else {
+      val in = fs.open(claimPath(base))
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  /** Delete the claim ONLY if `token` still owns it — read-verify-delete
+    * (the residual TOCTOU needs a takeover to interleave between the two
+    * steps, orders of magnitude narrower than the unowned delete it
+    * replaces, and survivable: the next compact sweeps or takes over). */
+  private def releaseClaim(fs: FileSystem, base: String, token: String): Unit =
+    if (readClaimToken(fs, base).contains(token)) { fs.delete(claimPath(base), false); () }
+
+  /** Maintenance-only: delete regardless of owner (presumed-dead takeover). */
+  private def breakClaim(fs: FileSystem, base: String): Unit = {
+    fs.delete(claimPath(base), false); ()
+  }
 
   /** The three finish steps — ONE definition shared by [[compact]] and
     * [[ensureRecovered]] so the delete-set rule can never fork between
@@ -165,15 +204,20 @@ object FoldSwap {
     val w = compactedThrough(fs, base)
     val tmpCovers = readLong(fs, new Path(s"$base/$TmpName/_covers"))
     if (tmpCovers != w || w < 0) return // uncommitted — compact() discards it
-    if (tryClaim(fs, base)) {
-      try {
-        // re-check under the claim: the state may have moved between the
-        // unclaimed peek and the claim grant
-        if (fs.exists(tmp) &&
-          readLong(fs, new Path(s"$base/$TmpName/_covers")) == compactedThrough(fs, base))
-          finishSwap(fs, base, prefix, w)
-      } finally releaseClaim(fs, base)
-    } else awaitFinished(fs, base)
+    tryClaim(fs, base) match {
+      case Some(token) =>
+        try {
+          // re-derive EVERYTHING under the claim — the pre-claim peek may
+          // be stale (another finisher completed and a NEW fold committed
+          // in between; finishing to the stale target would rename the new
+          // staging over an old dir and leave its sources as duplicates)
+          val wNow = compactedThrough(fs, base)
+          if (fs.exists(tmp) && wNow >= 0 &&
+            readLong(fs, new Path(s"$base/$TmpName/_covers")) == wNow)
+            finishSwap(fs, base, prefix, wNow)
+        } finally releaseClaim(fs, base, token)
+      case None => awaitFinished(fs, base)
+    }
   }
 
   /**
@@ -194,17 +238,32 @@ object FoldSwap {
     val covers = new Path(s"$base/$TmpName/_covers")
     // claim-or-take-over: compact IS the single maintenance writer, so a
     // claim that outlives [[FinishWaitMs]] is a crash-mid-finish artifact
-    // (or a wedged finisher — the contract's operator call); readers only
-    // wait, compact may break it.
-    def claimAsMaintenance(): Unit =
-      if (!tryClaim(fs, base)) {
-        try awaitFinished(fs, base) // a LIVE finisher completes well within
-        catch {
-          case _: IllegalStateException =>
-            releaseClaim(fs, base)
-            require(tryClaim(fs, base),
-              s"could not take over the stale $ClaimName at $base")
-        }
+    // (or a wedged finisher — the lease-less trade documented on
+    // [[ClaimName]]); readers only wait, compact may break it. Returns
+    // Some(ourToken) when WE must finish, None when another party did.
+    def claimAsMaintenance(): Option[String] =
+      tryClaim(fs, base) match {
+        case s @ Some(_) => s
+        case None =>
+          try { awaitFinished(fs, base); None } // live holder finished
+          catch {
+            case _: IllegalStateException => // presumed dead: take over
+              breakClaim(fs, base)
+              Some(tryClaim(fs, base).getOrElse(throw new IllegalStateException(
+                s"could not take over the stale $ClaimName at $base")))
+          }
+      }
+    // finish a COMMITTED swap under the claim, re-deriving the target from
+    // the fresh watermark (never a pre-claim peek)
+    def finishCommittedClaimed(): Unit =
+      claimAsMaintenance() match {
+        case Some(token) =>
+          try {
+            val wNow = compactedThrough(fs, base)
+            if (fs.exists(tmp) && wNow >= 0 && readLong(fs, covers) == wNow)
+              finishSwap(fs, base, prefix, wNow)
+          } finally releaseClaim(fs, base, token)
+        case None => () // another party finished it
       }
     // crash recovery from a previous run
     if (fs.exists(tmp)) {
@@ -214,16 +273,15 @@ object FoldSwap {
         // committed: finish. Deleting every remaining source dir at or
         // below the watermark is exactly the interrupted swap's delete set
         // (fold sets are always "all selected ids ≤ target").
-        claimAsMaintenance()
-        if (fs.exists(tmp)) // a racing reader may have finished during the wait
-          try finishSwap(fs, base, prefix, w) finally releaseClaim(fs, base)
-        else releaseClaim(fs, base)
-        return w
+        finishCommittedClaimed()
+        return compactedThrough(fs, base)
       } else fs.delete(tmp, true) // uncommitted: sources intact, discard staging
     }
     // any claim with NO staging behind it is stale (a finisher crashed after
-    // its rename but before releasing) — sweep so it cannot wedge readers
-    if (fs.exists(claimPath(base))) releaseClaim(fs, base)
+    // its rename but before releasing; a live one's remaining work — the
+    // _covers cleanup and its token-checked self-release — cannot race a
+    // later claim) — sweep so it cannot wedge readers
+    if (fs.exists(claimPath(base))) breakClaim(fs, base)
     val ids = listIds(fs, base, prefix)
     val foldable = selectFoldable(ids)
     if (foldable.size <= 1) return compactedThrough(fs, base)
@@ -246,10 +304,11 @@ object FoldSwap {
     // the claim is taken AFTER the commit point: a crash here leaves no
     // claim, so reader healing stays immediate for the common crash; only a
     // crash INSIDE finishSwap leaves a stale claim (readers fail loudly,
-    // the next compact takes it over after the wait)
-    if (tryClaim(fs, base)) {
-      try finishSwap(fs, base, prefix, target) finally releaseClaim(fs, base)
-    } else awaitFinished(fs, base) // a reader claimed first and is finishing
+    // the next compact takes it over after the wait). If a reader claimed
+    // first and then DIED mid-finish, this — the maintenance writer — takes
+    // the claim over right here instead of throwing the reader-oriented
+    // "run compact()" advice at itself.
+    finishCommittedClaimed()
     target
   }
 }

@@ -107,6 +107,14 @@ object Dials {
     math.min(62,
       math.ceil(math.log(math.max(corpusSize, 2).toDouble) / math.log(2.0)).toInt + 4)
 
+  /** Next power of two of `want`, clamped to [floorVal, 1 << capPow] — the
+    * shared bucket/list sizing idiom (ONE definition: the ceil-log2 form
+    * has a known float edge at exact powers of two; a fix must not fork). */
+  private def pow2Clamp(want: Double, floorVal: Int, capPow: Int): Int = {
+    val pow = math.ceil(math.log(math.max(1.0, want)) / math.log(2.0)).toInt
+    math.min(1 << capPow, math.max(floorVal, 1 << math.min(capPow, math.max(0, pow))))
+  }
+
   /**
    * Stored-postings bucket count (`RetrievalOps.writePostingsIndex`): the
    * next power of two of corpusDocs/4000, floored at 16 (below that the
@@ -117,14 +125,6 @@ object Dials {
    * across executors — probe cost per term stays ~corpus/4096 reads, which
    * is the scan's floor anyway once a bucket exceeds one split).
    */
-  /** Next power of two of `want`, clamped to [floorVal, 1 << capPow] — the
-    * shared bucket/list sizing idiom (ONE definition: the ceil-log2 form
-    * has a known float edge at exact powers of two; a fix must not fork). */
-  private def pow2Clamp(want: Double, floorVal: Int, capPow: Int): Int = {
-    val pow = math.ceil(math.log(math.max(1.0, want)) / math.log(2.0)).toInt
-    math.min(1 << capPow, math.max(floorVal, 1 << math.min(capPow, math.max(0, pow))))
-  }
-
   def retrievalBuckets(corpusDocs: Long): Int = {
     require(corpusDocs >= 1, s"bad corpus size $corpusDocs")
     pow2Clamp(corpusDocs.toDouble / 4000.0, floorVal = 16, capPow = 12)

@@ -1407,13 +1407,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("oracle soundness: q_dedup_semantic's fixed quantizer has 8 DISTINCT centroids") {
-    // with the original `% 7` formula rows 0 and 7 coincided: a permanent
-    // d0 == d7 tie resolved to cluster 0 on both sides (gate still green)
-    // while cluster 7 was silently unreachable — pin full distinctness so a
-    // formula edit cannot reintroduce a degenerate quantizer
+  test("oracle soundness: q_dedup_semantic's quantizer populates ALL 8 clusters on the fixtures") {
+    // two earlier cuts of this fixture were silently degenerate with a GREEN
+    // gate: `% 7` made rows 0/7 coincide (permanent tie to cluster 0), and
+    // the distinct-but-unnormalized successor starved cluster 7 outright
+    // (centroid norms 4.9–6.0 vs unit embeddings — L2 argmin became a
+    // norm contest). Distinctness is the wrong property; pin the one that
+    // matters: every cluster receives vectors on the actual driver fixtures.
     val rows = SparkEntry.SemanticCentroids.map(_.toSeq)
     assert(rows.distinct.length == 8, "duplicate centroid rows")
+    assert(rows.forall(r => math.abs(r.map(x => x * x).sum - 1.0) < 1e-9),
+      "centroids must be unit-norm (L2 argmin otherwise degenerates to a norm contest)")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val hist = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .filter(col("vec_id") < 500)
+        .select(element_at(graft.functions.CentroidIds(
+          col("embedding"), SparkEntry.SemanticCentroids, 1), 1).as("list_id"))
+        .groupBy("list_id").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert((0 until 8).forall(hist.getOrElse(_, 0L) > 0L),
+        s"$sf cluster histogram $hist leaves a cluster empty — degenerate quantizer")
+    }
   }
 
   test("oracle soundness: fixture lexicon has no cross-concept normalized-text collisions") {
