@@ -17,6 +17,50 @@ import org.apache.spark.sql.graftshim.InternalRowShim
  */
 object Closure {
 
+  /** Above this edge count the closures below run distributed; at or below
+    * it they run on the driver (the [[DriverUnionFind]] /
+    * `KgPipeline.xrefCanonicalMap` cost-based switch, applied to the graph
+    * loops themselves). Rationale, measured in round 7: the iterative
+    * DataFrame loops pay 3-6 whole Spark jobs PER ROUND in scheduling and
+    * checkpoint overhead (q_closure: 68 jobs for a 199-edge tree; the CC
+    * star contraction: 23 jobs for 15k edges) — for ontology-sized graphs
+    * that is pure fixed cost, while 200k collected string pairs are a few
+    * MB of driver memory. The distributed branches are unchanged and keep
+    * their own tests (forced via `driverLimit = 0`). */
+  val DriverGraphLimit = 200000L
+
+  /** Spark's string comparison (`least`/`min`/`<`) orders by UTF-8 bytes
+    * unsigned; Java's String.compareTo orders by UTF-16 code units. They
+    * agree on every code point below U+10000 but disagree when supplementary
+    * characters meet [U+E000, U+FFFF] — so the driver branches compare the
+    * SAME way Spark does, not the Java default. */
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Bounded driver probe shared by both closures: collect up to limit+1
+    * rows of the narrow 2-string-column frame; None means "too big — stay
+    * distributed" (also on a null or non-string column, which the driver
+    * branches don't model). */
+  private def probePairs(narrow: DataFrame, driverLimit: Long): Option[Array[(String, String)]] = {
+    import org.apache.spark.sql.types.StringType
+    if (driverLimit <= 0) return None
+    if (!narrow.schema.fields.forall(_.dataType == StringType)) return None
+    val limitInt = math.min(driverLimit, Int.MaxValue - 1L).toInt
+    val probe = narrow.limit(limitInt + 1).collect()
+    if (probe.length > limitInt || probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(probe.map(r => (r.getString(0), r.getString(1))))
+  }
+
   /**
    * T2 descendant closure, networkx `nx.ancestors` semantics on a
    * child→parent digraph — the UNION of per-seed `nx.ancestors(G, seed)`
@@ -30,8 +74,30 @@ object Closure {
    * @param seeds       one column `curie` of seed (ancestor) CURIEs
    * @return one column `curie` of descendant CURIEs
    */
-  def descendants(childParent: DataFrame, seeds: DataFrame): DataFrame = {
+  def descendants(childParent: DataFrame, seeds: DataFrame,
+                  driverLimit: Long = DriverGraphLimit): DataFrame = {
     val spark = childParent.sparkSession
+    probePairs(childParent.select(col("subj"), col("obj")), driverLimit) match {
+      case Some(pairs) =>
+        // driver BFS over parent→children adjacency: identical semantics to
+        // the loop below (acc collects ONLY nodes reached via >= 1 edge step)
+        // in ONE collect job instead of ~4 jobs per tree level
+        val seedArr = seeds.select(col("curie")).distinct().collect()
+          .map(_.getString(0))
+        val byParent: Map[String, Array[String]] =
+          pairs.groupMap(_._2)(_._1).view.mapValues(_.toArray).toMap
+        val visited = scala.collection.mutable.HashSet[String]()
+        var frontier: Iterable[String] = seedArr.toSeq
+        while (frontier.nonEmpty) {
+          frontier = frontier.iterator
+            .flatMap(p => byParent.getOrElse(p, Array.empty[String]))
+            .filter(c => visited.add(c)) // newly-reached only (cycle-safe)
+            .toVector
+        }
+        import spark.implicits._
+        return visited.toSeq.sorted.toDF("curie")
+      case None => // fall through to the distributed loop
+    }
     val edges = childParent.select(col("subj").as("child"), col("obj").as("parent"))
       .localCheckpoint(true)
 
@@ -86,7 +152,19 @@ object Closure {
    * @return (curie, component) — component = min CURIE reachable; every
    *         endpoint appears (self-pairs count as membership)
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          driverLimit: Long = DriverGraphLimit): DataFrame = {
+    probePairs(edges.select(col("a"), col("b")), driverLimit) match {
+      case Some(pairs) =>
+        val spark = edges.sparkSession
+        // min-CURIE component roots in Spark's UTF-8 byte order — exactly
+        // the star-contraction fixpoint's labels (equivalence test-pinned)
+        val comp = DriverUnionFind.components(pairs.iterator)(
+          (x, y) => if (utf8Lt(y, x)) y else x)
+        import spark.implicits._
+        return comp.toSeq.sortBy(_._1).toDF("curie", "component")
+      case None => // fall through to the distributed star contraction
+    }
     // membership = every endpoint ever seen (incl. isolated self-loop nodes,
     // which the star contraction drops from the edge list)
     val nodes = edges.select(col("a").as("curie"))

@@ -271,7 +271,7 @@ class StandardizeSpec extends AnyFunSuite {
     val n = 400
     val chain = spark.createDataFrame(
       (0 until n - 1).map(i => (f"N$i%05d", f"N${i + 1}%05d"))).toDF("a", "b")
-    val labels = Closure.connectedComponents(chain)
+    val labels = Closure.connectedComponents(chain, driverLimit = 0)
       .collect().map(r => r.getString(0) -> r.getString(1))
     assert(labels.length == n)
     assert(labels.forall(_._2 == "N00000"), labels.filter(_._2 != "N00000").take(3).mkString(","))
@@ -290,7 +290,7 @@ class StandardizeSpec extends AnyFunSuite {
         (f"V${rng.nextInt(n)}%04d", f"V${rng.nextInt(n)}%04d")
       }
       val got = Closure.connectedComponents(
-          spark.createDataFrame(edges).toDF("a", "b"))
+          spark.createDataFrame(edges).toDF("a", "b"), driverLimit = 0)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val want = graft.operators.DriverUnionFind.components(edges.iterator)(
         (x: String, y: String) => if (x <= y) x else y)
@@ -302,7 +302,7 @@ class StandardizeSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = spark.createDataFrame(
       (0 until 120).map(i => (f"C$i%05d", f"C${i + 1}%05d"))).toDF("a", "b")
-    val labels = Closure.connectedComponents(chain).collect()
+    val labels = Closure.connectedComponents(chain, driverLimit = 0).collect()
     assert(labels.forall(_.getString(1) == "C00000"))
     // only the result-backing checkpoints may remain (node set + final star
     // forest); every per-round large/next snapshot must have been unpersisted
@@ -314,8 +314,35 @@ class StandardizeSpec extends AnyFunSuite {
     val chain = spark.createDataFrame(
       (0 until 64).map(i => (f"N$i%05d", f"N${i + 1}%05d"))).toDF("a", "b")
     val ex = intercept[IllegalStateException] {
-      Closure.connectedComponents(chain, maxIter = 1).collect()
+      Closure.connectedComponents(chain, maxIter = 1, driverLimit = 0).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("closure cost-switch: driver branches == distributed branches (r7)") {
+    // descendants: driver BFS (default limit) vs the iterative join loop
+    // (forced via driverLimit = 0) on a DAG with a diamond and a nested seed
+    val dag = spark.createDataFrame(Seq(
+      ("B", "A"), ("C", "A"), ("D", "B"), ("D", "C"), ("E", "D"),
+      ("G", "F"), ("A", "R"))).toDF("subj", "obj")
+    val seeds = spark.createDataFrame(Seq(Tuple1("A"), Tuple1("R"))).toDF("curie")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    val drv = set(Closure.descendants(dag, seeds))
+    val dst = set(Closure.descendants(dag, seeds, driverLimit = 0))
+    assert(drv == dst, s"descendants driver/distributed diverge: $drv vs $dst")
+    assert(drv == Set("A", "B", "C", "D", "E")) // nested seed A included; F/G/R not
+
+    // connected components: driver union-find (default) vs star contraction
+    // (forced) on a mixed graph incl. an isolated self-loop
+    val ccEdges = spark.createDataFrame(Seq(
+      ("N2", "N1"), ("N3", "N2"), ("X", "X"), ("Q", "P"))).toDF("a", "b")
+    def ccMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ccDrv = ccMap(Closure.connectedComponents(ccEdges))
+    val ccDst = ccMap(Closure.connectedComponents(ccEdges, driverLimit = 0))
+    assert(ccDrv == ccDst, s"CC driver/distributed diverge: $ccDrv vs $ccDst")
+    assert(ccDrv == Map("N1" -> "N1", "N2" -> "N1", "N3" -> "N1",
+      "X" -> "X", "P" -> "P", "Q" -> "P"))
   }
 }
