@@ -145,14 +145,118 @@ object SimilarityOps {
 
   def trainIvf(embeddings: DataFrame, nLists: Int = 16, maxIter: Int = 10,
                seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = hashCappedSample(embeddings, maxTrainRows, seed)
-    val vecs = train.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nLists).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features").fit(vecs)
-    IvfIndex(model.clusterCenters.map(_.toArray))
+    // The maxTrainRows cap makes the training set driver-sized BY DESIGN
+    // (the quantizer needs distribution shape, not every row) — so training
+    // collects the capped sample ONCE and runs seeded k-means++ + Lloyd on
+    // the driver. Round-7 measurement: the previous MLlib KMeans path paid
+    // ~15 scheduler round-trips (k-means|| init + one whole Spark job per
+    // Lloyd iteration) to cluster a sample that is a few MB — 28 of
+    // q_ann_ivf's 31 jobs were training. Sorting by vec_id makes the result
+    // independent of partitioning/collect order (same reason the sample is
+    // hash-derived, not a limit).
+    val narrow = embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    // bounded probe first (the fetchDocsByIds pattern): when the corpus fits
+    // the cap the probe IS the whole set — one collect job instead of
+    // count + hash-filter + collect; only a genuinely over-cap corpus pays
+    // the exact count the hash sample divisor needs
+    val lim = math.min(maxTrainRows, Int.MaxValue - 1L).toInt
+    val probe = narrow.limit(lim + 1).collect()
+    val rows =
+      if (probe.length <= lim) probe
+      else {
+        val n = embeddings.count()
+        narrow.filter(
+          pmod(xxhash64(col("vec_id"), lit(seed)),
+            lit((n + maxTrainRows - 1) / maxTrainRows)) === 0).collect()
+      }
+    val data = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    IvfIndex(driverKMeans(data, nLists, maxIter, seed))
+  }
+
+  /**
+   * Seeded k-means++ init + Lloyd iterations on the driver, over the
+   * hash-capped training sample. Deterministic for a fixed (data order,
+   * seed); empty clusters keep their previous centroid (the MLlib
+   * convention); stops early when no assignment changes. The assignment
+   * step — the O(n·k·dim) part — runs data-parallel over points (writes are
+   * per-index, result independent of scheduling); the O(n·dim) accumulation
+   * stays serial so centroid sums are reproducible left-to-right doubles.
+   */
+  private[operators] def driverKMeans(data: Array[Array[Double]], k: Int,
+                                      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(data.nonEmpty, "trainIvf: empty training sample — nothing to cluster")
+    require(k > 0, s"trainIvf: nLists must be positive, got $k")
+    val n = data.length
+    val dim = data(0).length
+    val rng = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ D² seeding (duplicate points are fine: a fully-covered
+    // sample reseeds uniformly, mirroring data with fewer distinct rows
+    // than lists)
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = data(rng.nextInt(n)).clone()
+    val d2 = new Array[Double](n)
+    var i = 0
+    while (i < n) { d2(i) = dist2(data(i), centers(0)); i += 1 }
+    var c = 1
+    while (c < k) {
+      var total = 0.0
+      i = 0
+      while (i < n) { total += d2(i); i += 1 }
+      val next =
+        if (total <= 0) data(rng.nextInt(n))
+        else {
+          var target = rng.nextDouble() * total
+          var j = 0
+          while (j < n - 1 && target > d2(j)) { target -= d2(j); j += 1 }
+          data(j)
+        }
+      centers(c) = next.clone()
+      i = 0
+      while (i < n) { val d = dist2(data(i), next); if (d < d2(i)) d2(i) = d; i += 1 }
+      c += 1
+    }
+    // Lloyd
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val anyMoved = new java.util.concurrent.atomic.AtomicBoolean(false)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { p =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < k) { val d = dist2(data(p), centers(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        if (assign(p) != best) { assign(p) = best; anyMoved.set(true) }
+      }
+      moved = anyMoved.get()
+      if (moved) {
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        i = 0
+        while (i < n) {
+          val s = sums(assign(i)); val row = data(i)
+          var t = 0
+          while (t < dim) { s(t) += row(t); t += 1 }
+          counts(assign(i)) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            var t = 0
+            while (t < dim) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+          }
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Nearest-centroid list assignment (native expression, nprobe=1). */
