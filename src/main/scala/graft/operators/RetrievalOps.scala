@@ -61,15 +61,23 @@ object RetrievalOps {
    */
   def bm25TopK(documents: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // corpus constants: ONE bounded driver action (a single aggregate row);
-    // sums are exact longs so the derived avgdl double is reproducible
-    val stats = documents
-      .select(size(split(DedupOps.normText(col("text")), " ")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    // postings feed THREE consumers — corpus stats, vocabulary df, the
+    // scoring join — and as a lazy plan each would re-tokenize the whole
+    // corpus (r7 measurement: three full text scans per query batch). Pin
+    // the narrow (doc_id, dl, th, tf) rows once; the stats action below
+    // materializes the checkpoint and the scoring plan reuses it.
+    val post = postings(documents).localCheckpoint(false)
+    // corpus constants from the postings just computed (the
+    // appendPostingsIndex convention): every doc carries its dl on each of
+    // its rows and has >= 1 row (split never yields an empty array), so one
+    // narrow distinct reproduces the exact same longs — no second
+    // tokenization pass. Sums are exact longs so avgdl is reproducible.
+    val stats = post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("sdl")).head()
     require(stats.getLong(0) > 0,
       "bm25TopK over an EMPTY corpus — no documents to rank (and avgdl " +
         "would be 0/0); score against a non-empty corpus")
-    scoreTopK(postings(documents), queries,
+    scoreTopK(post, queries,
       nDocs = stats.getLong(0), sumDl = stats.getLong(1), k, k1, b)
   }
 
@@ -88,10 +96,14 @@ object RetrievalOps {
         array_distinct(split(DedupOps.normText(col("qtext")), " ")).as("qtoks"))
       .select(col("query_id"), explode(col("qtoks")).as("term"))
       .select(col("query_id"), xxhash64(col("term")).as("th"))
-    // vocabulary df looked up via a broadcast probe of the tiny query side —
-    // the vocabulary table itself is corpus-derived and never broadcast
-    val qdf = post.groupBy("th").agg(count(lit(1)).as("df"))
-      .join(broadcast(qterms), Seq("th"))
+    // ONE broadcast probe of the tiny query side against the postings scan;
+    // df is recovered from the matched rows THEMSELVES — every posting of a
+    // matched term survives the join, so count over (query_id, th) IS the
+    // term's global document frequency. (r7: the previous form aggregated
+    // the ENTIRE vocabulary — a corpus-scale shuffle — only to keep the
+    // query's ~dozens of terms, then paid a second broadcast to attach it.)
+    val matched = post.join(broadcast(qterms), Seq("th"))
+    val wDf = Window.partitionBy("query_id", "th")
 
     // fixed-association contribution; every paren mirrored in the oracle SQL
     val idf = log(lit(1.0) +
@@ -101,7 +113,8 @@ object RetrievalOps {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    post.join(broadcast(qdf), Seq("th"))
+    matched
+      .withColumn("df", count(lit(1)).over(wDf))
       .select(col("query_id"), col("doc_id"),
         contrib.cast("decimal(28,8)").as("w"))
       .groupBy("query_id", "doc_id")

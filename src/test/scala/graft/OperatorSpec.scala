@@ -1115,8 +1115,11 @@ class OperatorSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
       val smj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-      assert(bhj.size == 2 && smj.isEmpty,
-        s"expected 2 broadcast joins (df lookup + postings probe), got bhj=${bhj.size} smj=${smj.size}")
+      // r7: ONE broadcast probe of the query terms against the postings —
+      // df comes from the matched rows via a window, so the old
+      // vocabulary-wide groupBy + second broadcast (df lookup) are gone
+      assert(bhj.size == 1 && smj.isEmpty,
+        s"expected 1 broadcast join (postings probe; df via window), got bhj=${bhj.size} smj=${smj.size}")
       // terms are hashed BEFORE any exchange: corpus-sized shuffles and the
       // broadcast sides alike carry only fixed-width columns
       plan.foreach {
@@ -1272,10 +1275,11 @@ class OperatorSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
       val smj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-      // composition must not re-plan the legs: BM25's df lookup + postings
-      // probe stay broadcast, the dense leg stays a broadcast cross join,
-      // and the ONLY sort-merge join is the query-sized full-outer fusion
-      assert(bhj.size == 2, s"bm25 leg lost a broadcast join: ${bhj.size}")
+      // composition must not re-plan the legs: BM25's single postings probe
+      // (r7: df via window, no separate df-lookup join) stays broadcast, the
+      // dense leg stays a broadcast cross join, and the ONLY sort-merge join
+      // is the query-sized full-outer fusion
+      assert(bhj.size == 1, s"bm25 leg lost its broadcast join: ${bhj.size}")
       assert(bnlj.size == 1, s"dense leg lost its broadcast cross join: ${bnlj.size}")
       assert(smj.size == 1 && smj.head.joinType.sql == "FULL OUTER",
         s"fusion join shape changed: ${smj.map(_.joinType)}")
