@@ -307,8 +307,9 @@ object SparkEntry {
     // --- tokenizer vocab induction: the counting step of a BPE merge round —
     // top-40 adjacent char pairs across the corpus. Oracle replays the same
     // tokenize → per-occurrence pair explode → count → md5-tie-broken rank.
-    "q_bpe_pairs" -> ((s, dir) =>
-      TextOps.bpePairCounts(docs(s, dir).select("text"), topN = 40)),
+    "q_bpe_pairs" -> ((s, dir) => // scan-parallelism floor: q_dedup_spans note
+      TextOps.bpePairCounts(docs(s, dir).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")), topN = 40)),
 
     // --- tokenizer application: segment the corpus vocabulary with a FIXED
     // merge table (train once, apply everywhere — the production shape; the
@@ -466,8 +467,15 @@ object SparkEntry {
     // STRINGS and replays the same gaps-and-islands merge; gram-hash equality
     // standing in for gram equality is the fingerprint collision-freeness
     // convention (q_fingerprint).
+    // r7: the fixture corpus is ONE parquet file -> a 1-task scan serializes
+    // all gram hashing (the operator's "text never leaves the scan" design
+    // assumes file-level scan parallelism, which any real corpus layout
+    // provides). The wrapper restores it with a deterministic doc_id
+    // repartition of the narrow (doc_id, text) rows — parallelism derived
+    // from the session, not a constant; the operator itself is unchanged.
     "q_dedup_spans" -> ((s, dir) =>
-      DedupOps.duplicateSpans(docs(s, dir).select("doc_id", "text"), n = 8)),
+      DedupOps.duplicateSpans(docs(s, dir).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")), n = 8)),
 
     // --- retrieval: inverted-index BM25 top-5 for probes drawn from the
     // corpus (first 6 normalized tokens of docs 0..4 — a probe always finds

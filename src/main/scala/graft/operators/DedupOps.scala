@@ -249,7 +249,7 @@ object DedupOps {
     // (a, b) pair rows; as a lazy plan it would re-run inside the id-set
     // derivation below AND the verify join (round-3 verdict: 3 full-corpus
     // text passes)
-    val cand = minhashCandidates(documents, k, bands).localCheckpoint(true)
+    val cand = minhashCandidates(documents, k, bands).localCheckpoint(false)
     // verify-side shingling is SEMI-JOINED to the candidate id set first:
     // only candidate docs (near-dup-sized, bounded by LSH collisions) are
     // ever re-shingled for verification — the corpus text is never touched
@@ -260,7 +260,7 @@ object DedupOps {
     // shingle arrays staged through projections ONCE per candidate doc, then
     // pinned (both verify-join sides read them) — the text-to-text form would
     // re-tokenize per element inside the intersect/union lambdas (HOF trap)
-    val sh = shingleArray(candDocs).localCheckpoint(true)
+    val sh = shingleArray(candDocs).localCheckpoint(false)
     cand
       .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -307,7 +307,7 @@ object DedupOps {
     // winnowingNearDuplicates' fraction branch). Lifetime: the returned
     // DataFrame reads these blocks lazily, so they cannot be released here;
     // the ContextCleaner unpersists them once the result plan is GC'd
-    val sigs = documents.select(col("doc_id"), sigCol.as("sig")).localCheckpoint(true)
+    val sigs = documents.select(col("doc_id"), sigCol.as("sig")).localCheckpoint(false)
     val blockCols = (0 until blocks).map { b =>
       val lo = b * 64 / blocks
       val width = (b + 1) * 64 / blocks - lo
@@ -355,7 +355,7 @@ object DedupOps {
     // the fraction branch consumes fps TWICE (pairing + per-doc counts);
     // materialize the narrow (doc_id, fp) rows once instead of re-running
     // the rolling-hash sketch over every document's text
-    val fps = if (minSharedFrac.isDefined) fpsPlan.localCheckpoint(true) else fpsPlan
+    val fps = if (minSharedFrac.isDefined) fpsPlan.localCheckpoint(false) else fpsPlan
     val pairs = bucketPairsAll(fps, "fp")
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
     minSharedFrac match {
@@ -579,19 +579,27 @@ object DedupOps {
                               k: Int = 16, bands: Int = 4): (DataFrame, DataFrame) = {
     // batch bands feed THREE consumers (intra pairing, cross join, store
     // update) — pin the narrow rows once (same rule as minhashNearDuplicates)
-    val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(true)
+    val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(false)
     val intra = bucketPairs(batchBands, "band_idx", "band_hash")
     val cross = crossStoreCandidates(batchBands, store)
-      .localCheckpoint(true) // candidate ids + verify both read it
+      .localCheckpoint(false) // candidate ids + verify both read it
     // verify candidates with the exact shingle-Jaccard predicate; ONLY
     // candidate docs' text is (re-)shingled, fetched by candidate id
     val batchIds = intra.select(col("a").as("doc_id"))
       .unionByName(intra.select(col("b").as("doc_id")))
       .unionByName(cross.select(col("a").as("doc_id"))).distinct()
-    val histIds = cross.select(col("b").as("doc_id")).distinct()
+    val histIds = cross.select(col("b").cast("long").as("doc_id")).distinct()
+    // ONE bounded probe of the historical candidate ids serves BOTH the
+    // history text fetch (the fetchDocsByIds IN-filter/semi-join switch,
+    // inlined so the probe isn't paid twice) and the driver drop-decision
+    // branch below
+    val histProbe = histIds.limit(FetchProbeLimit + 1).collect().map(_.getLong(0))
+    val histDocs =
+      if (histProbe.length <= FetchProbeLimit) history.filter(col("doc_id").isin(histProbe: _*))
+      else history.join(histIds, Seq("doc_id"), "left_semi")
     val shBatch = shingleArray(batch.join(batchIds, Seq("doc_id"), "left_semi"))
-      .localCheckpoint(true)
-    val shHist = shingleArray(fetchDocsByIds(history, histIds))
+      .localCheckpoint(false)
+    val shHist = shingleArray(histDocs)
     def verified(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
       pairs
         .join(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
@@ -600,20 +608,45 @@ object DedupOps {
         .select("a", "b")
     val allPairs = verified(intra, shBatch, shBatch)
       .unionByName(verified(cross, shBatch, shHist))
-    // components over batch ∪ matched-history nodes (pair-list-sized)
-    val groups = nearDupGroups(allPairs)
-    val histComponents = groups.join(histIds, Seq("doc_id"), "left_semi")
-      .select("keep_id").distinct()
-    // the drop-decision set is PINNED: it is the junction both returned
-    // frames hang off (survivors anti-join; store update via survivors),
-    // and as a lazy plan the whole verification tail — history semi-join,
-    // candidate re-shingle, pair verify, components — would re-run once per
-    // consumer action. The set itself is near-dup-sized (narrow ids).
-    val dropped = groups.join(histComponents, Seq("keep_id"), "left_semi")
-      .select("doc_id") // every member of a history-touching component
-      .unionByName(groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
-      .distinct()
-      .localCheckpoint(true)
+    // r7 driver cost-switch for the DROP DECISION (the nearDupGroups
+    // pattern applied to the whole tail): the verified pair list is
+    // near-dup-sized, so when it and the history candidate set fit their
+    // probes, components + history-reach + drop-set run as driver set
+    // algebra — the previous DataFrame tail (components, two semi-joins, a
+    // union-distinct, a checkpoint) paid ~20 tiny Spark jobs per batch.
+    // Larger-than-probe inputs keep the distributed tail unchanged.
+    val limitInt = math.min(DriverGroupLimit, Int.MaxValue - 1L).toInt
+    val pairsProbe = allPairs
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .limit(limitInt + 1).collect()
+    val dropped: DataFrame =
+      if (pairsProbe.length <= limitInt && histProbe.length <= FetchProbeLimit) {
+        val histSet = histProbe.toSet
+        val comp = DriverUnionFind.components(
+          pairsProbe.iterator.map(r => (r.getLong(0), r.getLong(1))))((x, y) => math.min(x, y))
+        // identical rule to the distributed tail below: every member of a
+        // component containing a historical doc is dropped, plus every
+        // non-representative member of any component
+        val histKeep = comp.collect { case (d, k) if histSet(d) => k }.toSet
+        val ids = comp.collect { case (d, k) if histKeep(k) || d != k => d }.toSeq.sorted
+        import batch.sparkSession.implicits._
+        broadcast(ids.toDF("doc_id")) // driver-sized by the probe bound
+      } else {
+        // components over batch ∪ matched-history nodes (pair-list-sized)
+        val groups = nearDupGroups(allPairs)
+        val histComponents = groups.join(histIds, Seq("doc_id"), "left_semi")
+          .select("keep_id").distinct()
+        // the drop-decision set is PINNED: it is the junction both returned
+        // frames hang off (survivors anti-join; store update via survivors),
+        // and as a lazy plan the whole verification tail — history semi-join,
+        // candidate re-shingle, pair verify, components — would re-run once
+        // per consumer action. The set itself is near-dup-sized (narrow ids).
+        groups.join(histComponents, Seq("keep_id"), "left_semi")
+          .select("doc_id") // every member of a history-touching component
+          .unionByName(groups.filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
+          .distinct()
+          .localCheckpoint(false)
+      }
     val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
     val updated = store.select("doc_id", "band_idx", "band_hash")
       .unionByName(batchBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))

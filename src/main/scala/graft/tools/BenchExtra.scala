@@ -60,8 +60,15 @@ object BenchExtra {
     // job/stage counters (thread-safe: listener events arrive on the bus thread)
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (trace) {
+          val names = j.stageInfos.map(si => s"${si.name.takeWhile(_ != ' ')}(${si.numTasks})").mkString(", ")
+          println(f"    [job ${j.jobId}%4d] stages=${j.stageInfos.size}%2d tasks=${j.stageInfos.map(_.numTasks).sum}%4d  $names")
+        }
+      }
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
     })
 
