@@ -577,61 +577,84 @@ object DedupOps {
   def incrementalMinhashDedup(batch: DataFrame, store: DataFrame,
                               history: DataFrame, threshold: Double = 0.8,
                               k: Int = 16, bands: Int = 4): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     // batch bands feed THREE consumers (intra pairing, cross join, store
     // update) — pin the narrow rows once (same rule as minhashNearDuplicates)
     val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(false)
     val intra = bucketPairs(batchBands, "band_idx", "band_hash")
     val cross = crossStoreCandidates(batchBands, store)
-      .localCheckpoint(false) // candidate ids + verify both read it
-    // verify candidates with the exact shingle-Jaccard predicate; ONLY
-    // candidate docs' text is (re-)shingled, fetched by candidate id
-    val batchIds = intra.select(col("a").as("doc_id"))
-      .unionByName(intra.select(col("b").as("doc_id")))
-      .unionByName(cross.select(col("a").as("doc_id"))).distinct()
-    val histIds = cross.select(col("b").cast("long").as("doc_id")).distinct()
-    // ONE bounded probe of the historical candidate ids serves BOTH the
-    // history text fetch (the fetchDocsByIds IN-filter/semi-join switch,
-    // inlined so the probe isn't paid twice) and the driver drop-decision
-    // branch below
-    val histProbe = histIds.limit(FetchProbeLimit + 1).collect().map(_.getLong(0))
-    val histDocs =
-      if (histProbe.length <= FetchProbeLimit) history.filter(col("doc_id").isin(histProbe: _*))
-      else history.join(histIds, Seq("doc_id"), "left_semi")
-    val shBatch = shingleArray(batch.join(batchIds, Seq("doc_id"), "left_semi"))
-      .localCheckpoint(false)
-    val shHist = shingleArray(histDocs)
-    def verified(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
-      pairs
-        .join(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
-        .join(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
-        .filter(shingleJaccardFromArrays(col("sh_a"), col("sh_b")) >= threshold)
-        .select("a", "b")
-    val allPairs = verified(intra, shBatch, shBatch)
-      .unionByName(verified(cross, shBatch, shHist))
-    // r7 driver cost-switch for the DROP DECISION (the nearDupGroups
-    // pattern applied to the whole tail): the verified pair list is
-    // near-dup-sized, so when it and the history candidate set fit their
-    // probes, components + history-reach + drop-set run as driver set
-    // algebra — the previous DataFrame tail (components, two semi-joins, a
-    // union-distinct, a checkpoint) paid ~20 tiny Spark jobs per batch.
-    // Larger-than-probe inputs keep the distributed tail unchanged.
+
+    // r7: bounded probes of BOTH candidate pair lists FIRST (near-dup-sized
+    // by construction — LSH collisions behind the mega-bucket guard). When
+    // they fit, the candidate ids, the verify pair table and the whole drop
+    // decision are driver-sized, and the remaining distributed work is ONE
+    // shingle pass over the candidate docs (batch ∪ history in one frame —
+    // ids are disjoint by the historical-ids-precede-batch-ids contract —
+    // so one verify join pair replaces four) plus the survivor anti-join.
+    // The previous all-DataFrame formulation paid ~27 tiny Spark jobs per
+    // ingest batch in checkpoint/broadcast/AQE-stage scheduling; over-probe
+    // inputs take the unchanged distributed tail below.
     val limitInt = math.min(DriverGroupLimit, Int.MaxValue - 1L).toInt
-    val pairsProbe = allPairs
+    def probePairs(df: DataFrame): Array[(Long, Long)] = df
       .select(col("a").cast("long"), col("b").cast("long"))
-      .limit(limitInt + 1).collect()
+      .limit(limitInt + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val intraProbe = probePairs(intra)
+    val crossProbe = probePairs(cross)
+
     val dropped: DataFrame =
-      if (pairsProbe.length <= limitInt && histProbe.length <= FetchProbeLimit) {
-        val histSet = histProbe.toSet
-        val comp = DriverUnionFind.components(
-          pairsProbe.iterator.map(r => (r.getLong(0), r.getLong(1))))((x, y) => math.min(x, y))
-        // identical rule to the distributed tail below: every member of a
+      if (intraProbe.length <= limitInt && crossProbe.length <= limitInt) {
+        val histIdArr = crossProbe.map(_._2).distinct.sorted
+        val batchIdArr = (intraProbe.flatMap(p => Iterator(p._1, p._2)) ++
+          crossProbe.map(_._1)).distinct.sorted
+        // candidate docs fetched by id — the fetchDocsByIds switch over a
+        // driver array: IN-filter point lookups when small (bucket-pruning
+        // on a bucketed corpus), else a broadcast local-relation semi-join
+        def byIds(docs: DataFrame, ids: Array[Long]): DataFrame =
+          if (ids.length <= FetchProbeLimit) docs.filter(col("doc_id").isin(ids: _*))
+          else docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        val shCand = shingleArray(
+          byIds(batch.select("doc_id", "text"), batchIdArr)
+            .unionByName(byIds(history.select("doc_id", "text"), histIdArr)))
+        // exact shingle-Jaccard verify: the ONLY full-width text work, one
+        // distributed pass; the pair table rides along as a broadcast local
+        // relation and the verified result is bounded by the pair probes
+        val pairsDf = broadcast((intraProbe ++ crossProbe).toSeq.toDF("a", "b"))
+        val verifiedPairs = pairsDf
+          .join(shCand.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+          .join(shCand.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+          .filter(shingleJaccardFromArrays(col("sh_a"), col("sh_b")) >= threshold)
+          .select(col("a").cast("long"), col("b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // identical rule to the distributed tail: every member of a verified
         // component containing a historical doc is dropped, plus every
         // non-representative member of any component
-        val histKeep = comp.collect { case (d, k) if histSet(d) => k }.toSet
-        val ids = comp.collect { case (d, k) if histKeep(k) || d != k => d }.toSeq.sorted
-        import batch.sparkSession.implicits._
-        broadcast(ids.toDF("doc_id")) // driver-sized by the probe bound
+        val histSet = histIdArr.toSet
+        val comp = DriverUnionFind.components(verifiedPairs.iterator)(
+          (x, y) => math.min(x, y))
+        val histKeep = comp.collect { case (d, c) if histSet(d) => c }.toSet
+        val ids = comp.collect { case (d, c) if histKeep(c) || d != c => d }.toSeq.sorted
+        broadcast(ids.toDF("doc_id")) // driver-sized by the probe bounds
       } else {
+        // distributed tail (unchanged semantics): verify candidates with the
+        // exact shingle-Jaccard predicate — ONLY candidate docs' text is
+        // (re-)shingled, fetched by candidate id — then components + drop set
+        val crossPinned = cross.localCheckpoint(false) // ids + verify read it
+        val batchIds = intra.select(col("a").as("doc_id"))
+          .unionByName(intra.select(col("b").as("doc_id")))
+          .unionByName(crossPinned.select(col("a").as("doc_id"))).distinct()
+        val histIds = crossPinned.select(col("b").as("doc_id")).distinct()
+        val shBatch = shingleArray(batch.join(batchIds, Seq("doc_id"), "left_semi"))
+          .localCheckpoint(false)
+        val shHist = shingleArray(fetchDocsByIds(history, histIds))
+        def verified(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
+          pairs
+            .join(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+            .join(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+            .filter(shingleJaccardFromArrays(col("sh_a"), col("sh_b")) >= threshold)
+            .select("a", "b")
+        val allPairs = verified(intra, shBatch, shBatch)
+          .unionByName(verified(crossPinned, shBatch, shHist))
         // components over batch ∪ matched-history nodes (pair-list-sized)
         val groups = nearDupGroups(allPairs)
         val histComponents = groups.join(histIds, Seq("doc_id"), "left_semi")
