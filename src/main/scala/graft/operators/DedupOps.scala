@@ -244,29 +244,73 @@ object DedupOps {
    */
   def minhashNearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                             k: Int = 16, bands: Int = 4): DataFrame = {
-    // the candidate pipeline (normalize→tokenize→shingle→K minhashes→bands)
-    // is the expensive full-corpus pass — run it ONCE and pin the narrow
-    // (a, b) pair rows; as a lazy plan it would re-run inside the id-set
-    // derivation below AND the verify join (round-3 verdict: 3 full-corpus
-    // text passes)
-    val cand = minhashCandidates(documents, k, bands).localCheckpoint(false)
-    // verify-side shingling is SEMI-JOINED to the candidate id set first:
-    // only candidate docs (near-dup-sized, bounded by LSH collisions) are
-    // ever re-shingled for verification — the corpus text is never touched
-    // again after candidate generation
-    val candIds = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val candDocs = documents.join(candIds, Seq("doc_id"), "left_semi")
-    // shingle arrays staged through projections ONCE per candidate doc, then
-    // pinned (both verify-join sides read them) — the text-to-text form would
-    // re-tokenize per element inside the intersect/union lambdas (HOF trap)
-    val sh = shingleArray(candDocs).localCheckpoint(false)
-    cand
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
-      .withColumn("jaccard", shingleJaccardFromArrays(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+    // r7 probe-first shape (the incrementalMinhashDedup pattern): candidate
+    // pairs are near-dup-sized by construction (LSH collisions behind the
+    // mega-bucket guard), so probe the NON-distinct pair stream with the
+    // bounded limit-collect. Under the probe, the pair table and candidate
+    // id set are driver-sized: the candidate fetch becomes an IN filter (or
+    // a broadcast local-relation semi-join) and the pair table rides the
+    // verify join as a broadcast local relation — no checkpointed pair
+    // exchange, no dedup exchange, no id-set semi-join plan. Over-probe
+    // corpora (or non-long doc ids, which the driver path would re-type)
+    // take the previous formulation verbatim.
+    val limitInt = math.min(DriverGroupLimit, Int.MaxValue - 1L).toInt
+    val longIds = documents.schema.fields
+      .exists(f => f.name == "doc_id" &&
+        f.dataType == org.apache.spark.sql.types.LongType)
+    val probe: Option[Array[(Long, Long)]] =
+      if (!longIds) None
+      else {
+        val p = bucketPairsAll(bandedSignatures(documents, k, bands),
+            "band_idx", "band_hash")
+          .limit(limitInt + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (p.length <= limitInt) Some(p) else None
+      }
+    probe match {
+      case Some(p) =>
+        val spark = documents.sparkSession
+        import spark.implicits._
+        val pairs = p.distinct
+        val candIds = pairs.iterator
+          .flatMap(q => Iterator(q._1, q._2)).toArray.distinct.sorted
+        val candDocs =
+          if (candIds.length <= FetchProbeLimit)
+            documents.filter(col("doc_id").isin(candIds: _*))
+          else documents.join(broadcast(candIds.toSeq.toDF("doc_id")),
+            Seq("doc_id"), "left_semi")
+        // shingle arrays staged through projections ONCE per candidate doc,
+        // then pinned (both verify-join sides read them) — the text-to-text
+        // form would re-tokenize per element inside the intersect/union
+        // lambdas (HOF trap)
+        val sh = shingleArray(candDocs).localCheckpoint(false)
+        broadcast(pairs.toSeq.toDF("a", "b"))
+          .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+          .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+          .withColumn("jaccard", shingleJaccardFromArrays(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("a", "b", "jaccard")
+      case None =>
+        // the candidate pipeline (normalize→tokenize→shingle→K minhashes→
+        // bands) is the expensive full-corpus pass — run it ONCE and pin the
+        // narrow (a, b) pair rows; as a lazy plan it would re-run inside the
+        // id-set derivation below AND the verify join (round-3 verdict: 3
+        // full-corpus text passes)
+        val cand = minhashCandidates(documents, k, bands).localCheckpoint(false)
+        // verify-side shingling is SEMI-JOINED to the candidate id set first:
+        // only candidate docs (near-dup-sized, bounded by LSH collisions) are
+        // ever re-shingled for verification — the corpus text is never
+        // touched again after candidate generation
+        val candIds = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        val candDocs = documents.join(candIds, Seq("doc_id"), "left_semi")
+        val sh = shingleArray(candDocs).localCheckpoint(false)
+        cand
+          .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+          .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+          .withColumn("jaccard", shingleJaccardFromArrays(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= threshold)
+          .select("a", "b", "jaccard")
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -547,13 +591,19 @@ object DedupOps {
     * a bucketed store read satisfies both distributions, so NO store-side
     * exchange exists in the plan and only the batch side shuffles. */
   private[graft] def crossStoreCandidates(batchBands: DataFrame,
-                                          store: DataFrame): DataFrame = {
+                                          store: DataFrame): DataFrame =
+    crossStoreCandidatesAll(batchBands, store).distinct()
+
+  /** [[crossStoreCandidates]] without the final distinct — for consumers
+    * that dedupe on the driver (the probe-first incremental path), saving
+    * the dedup exchange. A pair repeats once per shared band (≤ bands). */
+  private[graft] def crossStoreCandidatesAll(batchBands: DataFrame,
+                                             store: DataFrame): DataFrame = {
     val storeBuckets = guardedBuckets(
       store.select("doc_id", "band_idx", "band_hash"),
       Seq("band_idx", "band_hash"), minMembers = 1)
     batchBands.join(storeBuckets, Seq("band_idx", "band_hash"))
       .select(col("doc_id").as("a"), explode(col("ids")).as("b"))
-      .distinct()
   }
 
   /** How many candidate ids the driver-side probe of [[fetchDocsByIds]] will
@@ -582,8 +632,6 @@ object DedupOps {
     // batch bands feed THREE consumers (intra pairing, cross join, store
     // update) — pin the narrow rows once (same rule as minhashNearDuplicates)
     val batchBands = bandedSignatures(batch, k, bands).localCheckpoint(false)
-    val intra = bucketPairs(batchBands, "band_idx", "band_hash")
-    val cross = crossStoreCandidates(batchBands, store)
 
     // r7: bounded probes of BOTH candidate pair lists FIRST (near-dup-sized
     // by construction — LSH collisions behind the mega-bucket guard). When
@@ -595,12 +643,18 @@ object DedupOps {
     // The previous all-DataFrame formulation paid ~27 tiny Spark jobs per
     // ingest batch in checkpoint/broadcast/AQE-stage scheduling; over-probe
     // inputs take the unchanged distributed tail below.
+    //
+    // The probed streams are the NON-distinct pair variants (the driver
+    // dedupes for free), saving one dedup exchange per candidate pipeline;
+    // a pair repeats at most once per shared band, so the effective
+    // distinct-pair threshold is conservatively >= limit/bands — an
+    // overflow just takes the distributed tail, which keeps its distincts.
     val limitInt = math.min(DriverGroupLimit, Int.MaxValue - 1L).toInt
     def probePairs(df: DataFrame): Array[(Long, Long)] = df
       .select(col("a").cast("long"), col("b").cast("long"))
       .limit(limitInt + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val intraProbe = probePairs(intra)
-    val crossProbe = probePairs(cross)
+    val intraProbe = probePairs(bucketPairsAll(batchBands, "band_idx", "band_hash"))
+    val crossProbe = probePairs(crossStoreCandidatesAll(batchBands, store))
 
     val dropped: DataFrame =
       if (intraProbe.length <= limitInt && crossProbe.length <= limitInt) {
@@ -619,7 +673,7 @@ object DedupOps {
         // exact shingle-Jaccard verify: the ONLY full-width text work, one
         // distributed pass; the pair table rides along as a broadcast local
         // relation and the verified result is bounded by the pair probes
-        val pairsDf = broadcast((intraProbe ++ crossProbe).toSeq.toDF("a", "b"))
+        val pairsDf = broadcast((intraProbe ++ crossProbe).distinct.toSeq.toDF("a", "b"))
         val verifiedPairs = pairsDf
           .join(shCand.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
           .join(shCand.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -639,7 +693,9 @@ object DedupOps {
         // distributed tail (unchanged semantics): verify candidates with the
         // exact shingle-Jaccard predicate — ONLY candidate docs' text is
         // (re-)shingled, fetched by candidate id — then components + drop set
-        val crossPinned = cross.localCheckpoint(false) // ids + verify read it
+        val intra = bucketPairs(batchBands, "band_idx", "band_hash")
+        val crossPinned = crossStoreCandidates(batchBands, store)
+          .localCheckpoint(false) // ids + verify read it
         val batchIds = intra.select(col("a").as("doc_id"))
           .unionByName(intra.select(col("b").as("doc_id")))
           .unionByName(crossPinned.select(col("a").as("doc_id"))).distinct()
