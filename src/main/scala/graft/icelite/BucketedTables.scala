@@ -55,6 +55,18 @@ object BucketedTables {
     s"graft_bkt_$h"
   }
 
+  /** Drop this session's reader registration over `path` (no-op when none).
+    * r7 (ADVICE): compaction DELETES folded batch dirs, and a long-lived
+    * ingest session would otherwise accumulate catalog entries pointing at
+    * dead locations — harmless but unbounded, and a confusing surface in
+    * spark.catalog listings. Callers that fold dirs away clean up here. */
+  def dropRegistration(spark: SparkSession, path: String, spec: BucketSpec): Unit = {
+    val name = tableName(absPath(spark, path), spec)
+    if (spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`"); ()
+    }
+  }
+
   /**
    * Write `df` as a bucketed parquet directory at `path` (target cleared
    * first — idempotent under replay). One file per bucket: the pre-write

@@ -54,7 +54,17 @@ object FoldSwap {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .map { st =>
+        val suffix = st.getPath.getName.stripPrefix(prefix)
+        // r7 (ADVICE): a stray non-numeric dir (a manual 'batch_id=bak'
+        // copy) must fail with the offending path and remedy, matching
+        // readLong's loud-with-remedy convention — a bare
+        // NumberFormatException here wedged every stored read and compact
+        suffix.toLongOption.getOrElse(throw new IllegalStateException(
+          s"non-numeric ${prefix}<id> directory ${st.getPath} under $base — " +
+            "not FoldSwap layout. Remove or rename the stray directory " +
+            "(ids must be plain longs for watermark ordering)"))
+      }
   }
 
   private def readLong(fs: FileSystem, p: Path): Long =

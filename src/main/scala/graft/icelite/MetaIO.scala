@@ -82,9 +82,16 @@ private[icelite] object NioMetaIO extends MetaIO {
       // REPLACES an existing target. A hard link is the real atomic
       // create-if-absent commit (throws FileAlreadyExistsException);
       // fall back to check+move only where the FS has no links.
+      // r7 (ADVICE): filesystems that reject hard links don't all raise
+      // UnsupportedOperationException — FUSE/network/SELinux-restricted
+      // mounts surface plain IOException/FileSystemException. Treat ANY
+      // link failure EXCEPT FileAlreadyExistsException (the contract's
+      // loud already-exists signal, which must propagate) as "no link
+      // support here" and take the check+move fallback.
       try { Files.createLink(path(dst), path(tmp)); () }
       catch {
-        case _: UnsupportedOperationException =>
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        case _: UnsupportedOperationException | _: java.io.IOException =>
           if (Files.exists(path(dst)))
             throw new java.nio.file.FileAlreadyExistsException(dst)
           Files.move(path(tmp), path(dst),

@@ -234,6 +234,24 @@ object RetrievalOps {
     // (FoldSwap.ensureRecovered doc) — stats sidecars are never folded and
     // need no recovery
     graft.icelite.FoldSwap.ensureRecovered(spark, s"$path/postings", "batch_id=")
+    // r7 (ADVICE): a crash between appendPostingsIndex's postings write and
+    // its stats write leaves the batch's tf/df visible while its docs are
+    // missing from N/avgdl — scores would be silently mis-normalized until
+    // the operator replays the batch. Readers HEAL-OR-FAIL here (the
+    // FoldSwap.ensureRecovered convention): any live postings batch without
+    // its committed stats sidecar fails loudly with the replay remedy.
+    val fsCheck = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.icelite.FoldSwap.listIds(fsCheck, s"$path/postings", "batch_id=")
+      .foreach { id =>
+        if (!fsCheck.exists(new org.apache.hadoop.fs.Path(
+            s"$path/stats/batch_id=$id/_SUCCESS")))
+          throw new IllegalStateException(
+            s"postings batch_id=$id at $path has no committed stats sidecar " +
+              "— an interrupted appendPostingsIndex. Replay that batch id " +
+              "(both writes are overwrites) before querying, or its docs " +
+              "stay uncounted in N/avgdl and every score is mis-normalized")
+      }
     val nBuckets = readPostingsMeta(spark, path)
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()

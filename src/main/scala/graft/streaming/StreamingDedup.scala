@@ -170,11 +170,13 @@ object StreamingDedup {
    * TEST-ONLY failpoint. Returns the folded-through watermark.
    */
   def compactHistory(spark: SparkSession, outDir: String,
-                     failAt: Option[String] = None): Long =
-    graft.icelite.FoldSwap.compact(spark, outDir, "batch_id=",
+                     failAt: Option[String] = None): Long = {
+    val folded = scala.collection.mutable.ArrayBuffer[Long]()
+    val w = graft.icelite.FoldSwap.compact(spark, outDir, "batch_id=",
       // all but the highest (possibly still-replayable) batch dir
       selectFoldable = ids => if (ids.size <= 1) Seq.empty else ids.sorted.dropRight(1),
       stage = (tmp, foldIds, _) => {
+        folded ++= foldIds
         // PLAIN parquet scans of the fold sources, NOT bucketed-table reads:
         // a union of identically-bucketed scans reports a partitioning that
         // lets the write-side repartition be planned away, so every source
@@ -188,4 +190,19 @@ object StreamingDedup {
         BucketedTables.write(merged, tmp, HistoryBuckets)
       },
       failAt = failAt)
+    // r7 (ADVICE): best-effort catalog hygiene — folded source dirs were
+    // DELETED by the swap, so this session's reader registrations over them
+    // now point at dead locations; drop every one whose dir is gone (the
+    // fold target keeps a batch_id= name and stays registered). Best-effort
+    // by design: a crash before this point leaves stale-but-harmless
+    // entries, exactly the pre-r7 behavior.
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    folded.foreach { id =>
+      val dir = s"$outDir/batch_id=$id"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        BucketedTables.dropRegistration(spark, dir, HistoryBuckets)
+    }
+    w
+  }
 }

@@ -1146,6 +1146,21 @@ class PipelineSpec extends AnyFunSuite {
       RetrievalOps.bm25TopKStored(spark, path + "_empty", queries, k = 4)
     }
     assert(exEmpty.getMessage.contains("ZERO documents"), exEmpty.getMessage)
+    // r7 (ADVICE): an interrupted appendPostingsIndex (postings written,
+    // stats sidecar missing) must fail the READ loudly with the replay
+    // remedy — not serve silently mis-normalized scores
+    RetrievalOps.appendPostingsIndex(mkDocs(200, 220), path, batchId = 2)
+    val statsSuccess = java.nio.file.Paths.get(s"$path/stats/batch_id=2/_SUCCESS")
+    java.nio.file.Files.delete(statsSuccess)
+    val exStats = intercept[IllegalStateException] {
+      RetrievalOps.bm25TopKStored(spark, path, queries, k = 4)
+    }
+    assert(exStats.getMessage.contains("batch_id=2") &&
+      exStats.getMessage.contains("Replay"), exStats.getMessage)
+    // replaying the batch (both writes are overwrites) heals the index
+    RetrievalOps.appendPostingsIndex(mkDocs(200, 220), path, batchId = 2)
+    assert(key(RetrievalOps.bm25TopKStored(spark, path, queries, k = 4)) ==
+      key(RetrievalOps.bm25TopK(mkDocs(0, 220), queries, k = 4)))
   }
 
   test("BM25 postings compaction: idempotent re-append, fold keeps scores, folded replay refused") {

@@ -294,6 +294,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.schema(StreamingDedup.docSchema).parquet(out).count() == 100)
   }
 
+  test("history compaction drops reader registrations over folded-away dirs (r7 ADVICE)") {
+    import graft.streaming.StreamingDedup
+    import graft.icelite.BucketedTables
+    val out = Files.createTempDirectory("graft_sdedup_catalog").toString
+    import spark.implicits._
+    def mk(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")
+    (0 to 2).foreach(b => BucketedTables.write(mk(b * 10, b * 10 + 10),
+      s"$out/batch_id=$b", StreamingDedup.HistoryBuckets))
+    def nRegs() = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_bkt_")).count()
+    val before = nRegs()
+    (0 to 2).foreach(b => BucketedTables.read(spark, s"$out/batch_id=$b",
+      StreamingDedup.HistoryBuckets, Some(StreamingDedup.docSchema)).count())
+    assert(nRegs() == before + 3)
+    // fold 0+1 into batch_id=1: dir 0 is deleted -> its registration must go;
+    // the fold target (1) and the un-folded highest (2) stay registered
+    assert(StreamingDedup.compactHistory(spark, out) == 1L)
+    assert(nRegs() == before + 2,
+      "registration over the deleted batch_id=0 dir was not dropped")
+    val folded = BucketedTables.read(spark, s"$out/batch_id=1",
+      StreamingDedup.HistoryBuckets, Some(StreamingDedup.docSchema))
+    assert(folded.count() == 20, "fold target must stay readable post-cleanup")
+  }
+
+  test("FoldSwap.listIds: a stray non-numeric dir fails loudly with the path (r7 ADVICE)") {
+    val base = Files.createTempDirectory("graft_foldswap_stray").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/batch_id=0"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/batch_id=bak"))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ex = intercept[IllegalStateException] {
+      graft.icelite.FoldSwap.listIds(fs, base, "batch_id=")
+    }
+    assert(ex.getMessage.contains("batch_id=bak"), ex.getMessage)
+    assert(ex.getMessage.contains("Remove or rename"), ex.getMessage)
+  }
+
   test("incremental sink is idempotent under batch REPLAY (at-least-once foreachBatch)") {
     import org.apache.spark.sql.functions.lit
     val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
