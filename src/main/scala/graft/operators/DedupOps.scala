@@ -258,11 +258,14 @@ object DedupOps {
     val longIds = documents.schema.fields
       .exists(f => f.name == "doc_id" &&
         f.dataType == org.apache.spark.sql.types.LongType)
+    // the banded rows are pinned BEFORE the probe so an over-probe fallback
+    // reuses them instead of re-running the full-corpus banding pass (the
+    // narrow bands×16B/doc rows are the only thing persisted)
+    lazy val bandsDf = bandedSignatures(documents, k, bands).localCheckpoint(false)
     val probe: Option[Array[(Long, Long)]] =
       if (!longIds) None
       else {
-        val p = bucketPairsAll(bandedSignatures(documents, k, bands),
-            "band_idx", "band_hash")
+        val p = bucketPairsAll(bandsDf, "band_idx", "band_hash")
           .limit(limitInt + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
         if (p.length <= limitInt) Some(p) else None
       }
@@ -291,11 +294,12 @@ object DedupOps {
           .select("a", "b", "jaccard")
       case None =>
         // the candidate pipeline (normalize→tokenize→shingle→K minhashes→
-        // bands) is the expensive full-corpus pass — run it ONCE and pin the
-        // narrow (a, b) pair rows; as a lazy plan it would re-run inside the
-        // id-set derivation below AND the verify join (round-3 verdict: 3
-        // full-corpus text passes)
-        val cand = minhashCandidates(documents, k, bands).localCheckpoint(false)
+        // bands) is the expensive full-corpus pass — reuse the pinned banded
+        // rows from the probe (non-long-id inputs compute them here) and pin
+        // the narrow (a, b) pair rows; as a lazy plan they would re-run
+        // inside the id-set derivation below AND the verify join (round-3
+        // verdict: 3 full-corpus text passes)
+        val cand = bucketPairs(bandsDf, "band_idx", "band_hash").localCheckpoint(false)
         // verify-side shingling is SEMI-JOINED to the candidate id set first:
         // only candidate docs (near-dup-sized, bounded by LSH collisions) are
         // ever re-shingled for verification — the corpus text is never
