@@ -305,6 +305,14 @@ class OperatorSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("regexp_replace"), "corpus text pipeline recomputed in final plan")
     assert(!plan.toLowerCase.contains("posexplode"), "banding recomputed in final plan")
+
+    // r7: the probe-first driver path must agree with the distributed
+    // fallback, which non-long doc ids force (the driver branch would
+    // re-type them, so it declines and the previous formulation runs)
+    val dfInt = Seq((1, base), (2, near), (3, far)).toDF("doc_id", "text")
+    val pairsInt = DedupOps.minhashNearDuplicates(dfInt, threshold = 0.3, k = 16, bands = 8)
+      .select("a", "b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairsInt == Set((1, 2)), "fallback (int-id) path diverged from driver path")
   }
 
   test("incremental minhash dedup == full-corpus survivors; store update == recomputed signatures") {
