@@ -1123,11 +1123,28 @@ class OperatorSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
       val smj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-      // r7: ONE broadcast probe of the query terms against the postings —
-      // df comes from the matched rows via a window, so the old
-      // vocabulary-wide groupBy + second broadcast (df lookup) are gone
-      assert(bhj.size == 1 && smj.isEmpty,
-        s"expected 1 broadcast join (postings probe; df via window), got bhj=${bhj.size} smj=${smj.size}")
+      // r7: the broadcast query-term probe runs FIRST and df is aggregated
+      // from the MATCHED rows (query-term-sized), broadcast back — the old
+      // vocabulary-wide groupBy (a corpus-scale exchange) is gone. The
+      // matched subtree appears twice (df aggregation + scoring; the term
+      // broadcast itself is a ReusedExchange), so 3 BHJ nodes: two term
+      // probes sharing one broadcast + the df attach
+      assert(bhj.size == 3 && smj.isEmpty,
+        s"expected 3 broadcast joins (term probe x2 shared + df attach), got bhj=${bhj.size} smj=${smj.size}")
+      // and no corpus-scale exchange remains: every hash-partitioning in the
+      // plan is query_id-keyed (the old plan had a vocabulary-wide
+      // hashpartitioning(th) feeding the df aggregate)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val keys = e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.map(_.toString)
+          case _ => Nil
+        }
+        assert(keys.exists(_.contains("query_id")),
+          s"non-query-keyed exchange survives: $keys")
+      }
       // terms are hashed BEFORE any exchange: corpus-sized shuffles and the
       // broadcast sides alike carry only fixed-width columns
       plan.foreach {
@@ -1283,11 +1300,11 @@ class OperatorSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
       val smj = plan.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-      // composition must not re-plan the legs: BM25's single postings probe
-      // (r7: df via window, no separate df-lookup join) stays broadcast, the
-      // dense leg stays a broadcast cross join, and the ONLY sort-merge join
-      // is the query-sized full-outer fusion
-      assert(bhj.size == 1, s"bm25 leg lost its broadcast join: ${bhj.size}")
+      // composition must not re-plan the legs: BM25's term probes +
+      // matched-df attach stay broadcast (3 BHJ — see the bm25 plan test),
+      // the dense leg stays a broadcast cross join, and the ONLY sort-merge
+      // join is the query-sized full-outer fusion
+      assert(bhj.size == 3, s"bm25 leg lost a broadcast join: ${bhj.size}")
       assert(bnlj.size == 1, s"dense leg lost its broadcast cross join: ${bnlj.size}")
       assert(smj.size == 1 && smj.head.joinType.sql == "FULL OUTER",
         s"fusion join shape changed: ${smj.map(_.joinType)}")
